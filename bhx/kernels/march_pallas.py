@@ -1,0 +1,358 @@
+"""Pallas TPU kernel for the geodesic march (the hot loop).
+
+Replaces the jnp march of bhx.tracer._march_phase for the forward path.
+The reference's per-pixel megakernel interleaves integration, hit tests,
+texture sampling and compositing in one divergent loop (ray.wgsl:518-581);
+that shape is poison for a vector machine, so the kernel here is designed
+around what the VPU does well:
+
+* **SoA lane layout.** A grid step processes a tile of 1024 rays as
+  (8, 128) registers per field — pure elementwise math, no gathers, no
+  per-lane control flow.
+* **Record, don't shade.** Texture lookups are gathers, so the kernel
+  never touches textures: it *records* the geometry of up to K disk
+  crossings per ray (position + direction per crossing).  Shading
+  (disk texture, Doppler/gravitational tint) and alpha compositing run
+  afterwards as dense vectorized jnp over the recorded slots — exactly
+  equivalent because shading depends only on crossing geometry, not on
+  march state.
+* **Masked lane adaptivity.** RK45 step rejection/acceptance is a lane
+  mask (rejected lanes retry with the shrunken h on the next loop pass);
+  termination is a lane mask + an all-lanes-done vote in the while_loop
+  condition, so a tile exits as soon as *its* rays are done — the TPU
+  analogue of SIMT early exit at 1024-ray granularity (SURVEY.md §7
+  hard part 1).
+* **Early-exit bound.** The true compositing amount depends on the disk
+  texture, which the kernel does not read; it tracks an upper bound
+  (texture opacity factor is in [0.7, 1], ray.wgsl:639) and stops lanes
+  only when even the bound is below the cutoff — conservative, never
+  changes the image.
+
+The kernel runs in float32 (geodesics near the horizon need the mantissa;
+r^-5 in bf16 is hopeless).  Layouts: rays (T, 8, 8, 128) in / (T, F, 8, 128)
+out with F = 11 + 7K; scalar parameters ride in SMEM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from bhx.integrate import (
+    A21, A31, A32, A41, A42, A43, A51, A52, A53, A54, A61, A62, A63, A64, A65,
+    B1, B3, B4, B6, E1, E3, E4, E5, E6,
+)
+
+LANES = 8 * 128  # rays per grid step
+
+# Scalar parameter vector layout (SMEM).
+_P = dict(
+    bh_x=0, bh_y=1, bh_z=2, mass=3, horizon_r=4, rel_r=5,
+    disk_nx=6, disk_ny=7, disk_nz=8, disk_inner=9, disk_outer=10,
+    step_size=11, cutoff=12, rtol=13, safety=14, min_f=15, max_f=16,
+    h_min=17, h_max=18,
+)
+NUM_PARAMS = len(_P)
+
+# Output field layout.
+_OUT_FIXED = dict(
+    px=0, py=1, pz=2, dx=3, dy=4, dz=5,
+    steps=6, closest=7, horizon=8, exited=9, h=10,
+)
+OUT_FIXED = len(_OUT_FIXED)
+CROSS_FIELDS = 7  # hx, hy, hz, dx, dy, dz, valid
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchKernelConfig:
+    integrator: str = "euler"  # "euler" | "rk45"
+    max_iterations: int = 2000
+    max_crossings: int = 4
+    # Disk-texture opacity factor lower bound (1.0 when texture disabled).
+    tex_opacity_min: float = 0.7
+    show_disk: bool = True
+    interpret: bool = False
+
+
+def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
+    p = lambda name: params_ref[0, _P[name]]
+
+    bx, by, bz = p("bh_x"), p("bh_y"), p("bh_z")
+    mass = p("mass")
+    horizon_r = p("horizon_r")
+    rel_r = p("rel_r")
+    nx, ny, nz = p("disk_nx"), p("disk_ny"), p("disk_nz")
+    d_in, d_out = p("disk_inner"), p("disk_outer")
+    cutoff = p("cutoff")
+
+    px = rays_ref[0, 0]
+    py = rays_ref[0, 1]
+    pz = rays_ref[0, 2]
+    dx = rays_ref[0, 3]
+    dy = rays_ref[0, 4]
+    dz = rays_ref[0, 5]
+    h0 = rays_ref[0, 6]
+    act0 = rays_ref[0, 7] > 0.5
+
+    zeros = jnp.zeros_like(px)
+    K = kcfg.max_crossings
+
+    init = dict(
+        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        h=h0,
+        act=act0,
+        steps=zeros,
+        closest=jnp.sqrt((px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2),
+        amount_ub=jnp.ones_like(px),
+        horizon=zeros,
+        exited=zeros,
+        cross=[tuple(zeros for _ in range(CROSS_FIELDS)) for _ in range(K)],
+        count=zeros,
+        it=jnp.int32(0),
+    )
+
+    def accel(qx, qy, qz, h2):
+        rx, ry, rz = qx - bx, qy - by, qz - bz
+        r2 = rx * rx + ry * ry + rz * rz
+        inv_r5 = (r2 + 1e-12) ** -2.5
+        s = (-3.0) * mass * h2 * inv_r5
+        return s * rx, s * ry, s * rz
+
+    def norm3(x, y, z):
+        inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-20)
+        return x * inv, y * inv, z * inv
+
+    def cond(s):
+        return jnp.logical_and(s["it"] < kcfg.max_iterations, jnp.any(s["act"]))
+
+    def body(s):
+        px, py, pz = s["px"], s["py"], s["pz"]
+        dx, dy, dz = s["dx"], s["dy"], s["dz"]
+        act = s["act"]
+
+        rx, ry, rz = px - bx, py - by, pz - bz
+        cxv = ry * dz - rz * dy
+        cyv = rz * dx - rx * dz
+        czv = rx * dy - ry * dx
+        h2 = cxv * cxv + cyv * cyv + czv * czv
+
+        if kcfg.integrator == "euler":
+            h_used = s["h"]
+            ax, ay, az = accel(px, py, pz, h2)
+            ndx, ndy, ndz = norm3(dx + ax * h_used, dy + ay * h_used, dz + az * h_used)
+            npx = px + ndx * h_used
+            npy = py + ndy * h_used
+            npz = pz + ndz * h_used
+            applied = act
+            h_next = h_used
+        else:
+            h_used = s["h"]
+
+            def stage(cx_, cy_, cz_):
+                return accel(px + cx_ * h_used, py + cy_ * h_used, pz + cz_ * h_used, h2)
+
+            k1 = accel(px, py, pz, h2)
+            k2 = stage(A21 * k1[0], A21 * k1[1], A21 * k1[2])
+            k3 = stage(A31 * k1[0] + A32 * k2[0], A31 * k1[1] + A32 * k2[1],
+                       A31 * k1[2] + A32 * k2[2])
+            k4 = stage(A41 * k1[0] + A42 * k2[0] + A43 * k3[0],
+                       A41 * k1[1] + A42 * k2[1] + A43 * k3[1],
+                       A41 * k1[2] + A42 * k2[2] + A43 * k3[2])
+            k5 = stage(A51 * k1[0] + A52 * k2[0] + A53 * k3[0] + A54 * k4[0],
+                       A51 * k1[1] + A52 * k2[1] + A53 * k3[1] + A54 * k4[1],
+                       A51 * k1[2] + A52 * k2[2] + A53 * k3[2] + A54 * k4[2])
+            k6 = stage(
+                A61 * k1[0] + A62 * k2[0] + A63 * k3[0] + A64 * k4[0] + A65 * k5[0],
+                A61 * k1[1] + A62 * k2[1] + A63 * k3[1] + A64 * k4[1] + A65 * k5[1],
+                A61 * k1[2] + A62 * k2[2] + A63 * k3[2] + A64 * k4[2] + A65 * k5[2],
+            )
+            ix = B1 * k1[0] + B3 * k3[0] + B4 * k4[0] + B6 * k6[0]
+            iy = B1 * k1[1] + B3 * k3[1] + B4 * k4[1] + B6 * k6[1]
+            iz = B1 * k1[2] + B3 * k3[2] + B4 * k4[2] + B6 * k6[2]
+            ex = h_used * (E1 * k1[0] + E3 * k3[0] + E4 * k4[0] + E5 * k5[0] + E6 * k6[0])
+            ey = h_used * (E1 * k1[1] + E3 * k3[1] + E4 * k4[1] + E5 * k5[1] + E6 * k6[1])
+            ez = h_used * (E1 * k1[2] + E3 * k3[2] + E4 * k4[2] + E5 * k5[2] + E6 * k6[2])
+            err = jnp.maximum(jnp.abs(ex), jnp.maximum(jnp.abs(ey), jnp.abs(ez)))
+            ratio = err / p("rtol")
+            accept = ratio <= 1.0
+            grow = jnp.clip(p("safety") * (ratio + 1e-12) ** -0.2, 1.0, p("max_f"))
+            shrink = jnp.clip(p("safety") * (ratio + 1e-12) ** -0.25, p("min_f"), 1.0)
+            h_next = jnp.clip(h_used * jnp.where(accept, grow, shrink),
+                              p("h_min"), p("h_max"))
+            ndx, ndy, ndz = norm3(dx + h_used * ix, dy + h_used * iy, dz + h_used * iz)
+            # Position advances along the old direction (reference parity).
+            npx = px + dx * h_used
+            npy = py + dy * h_used
+            npz = pz + dz * h_used
+            applied = jnp.logical_and(act, accept)
+
+        # --- segment hit tests: origin (px,py,pz), direction (new dir),
+        # t in (0, h_used] (reference ray.wgsl:539-541) ---
+        # Horizon sphere.
+        ox, oy, oz = px - bx, py - by, pz - bz
+        a_q = ndx * ndx + ndy * ndy + ndz * ndz
+        b_q = 2.0 * (ox * ndx + oy * ndy + oz * ndz)
+        c_q = ox * ox + oy * oy + oz * oz - horizon_r * horizon_r
+        disc = b_q * b_q - 4.0 * a_q * c_q
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-b_q - sq) / (2.0 * a_q)
+        t2 = (-b_q + sq) / (2.0 * a_q)
+        v1 = jnp.logical_and(disc > 0.0, jnp.logical_and(t1 > 1e-8, t1 < h_used))
+        v2 = jnp.logical_and(disc > 0.0, jnp.logical_and(t2 > 1e-8, t2 < h_used))
+        t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
+        hit_h = jnp.logical_or(v1, v2)
+
+        if kcfg.show_disk:
+            denom = nx * ndx + ny * ndy + nz * ndz
+            denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+            t_d = ((bx - px) * nx + (by - py) * ny + (bz - pz) * nz) / denom
+            hx = px + ndx * t_d
+            hy = py + ndy * t_d
+            hz = pz + ndz * t_d
+            rr = jnp.sqrt((hx - bx) ** 2 + (hy - by) ** 2 + (hz - bz) ** 2)
+            hit_d = jnp.logical_and(
+                jnp.logical_and(t_d > 1e-8, t_d < h_used),
+                jnp.logical_and(rr >= d_in, rr <= d_out),
+            )
+            # Opacity upper/lower bounds for early exit: od from the
+            # texture-independent density (ray.wgsl:618-626).
+            adist = jnp.sqrt(hx * hx + hy * hy + hz * hz)
+            dens = 1.0 - adist / d_out
+            tt = jnp.clip((rr - d_in) / 1.0, 0.0, 1.0)
+            dens = dens * (tt * tt * (3.0 - 2.0 * tt))
+            dens = jnp.maximum(dens * jax.lax.rsqrt(rr + 1e-20), 0.0)
+            od = (30.0 * dens) ** 1.3
+            op_min = jnp.clip(od * 0.2, 0.0, 1.0) * kcfg.tex_opacity_min
+        else:
+            hit_d = jnp.zeros_like(hit_h)
+            t_d = jnp.full_like(t_h, 1e9)
+            hx = hy = hz = zeros
+            op_min = zeros
+
+        horizon_first = jnp.logical_and(hit_h, t_h <= t_d)
+        crossing = jnp.logical_and(
+            applied, jnp.logical_and(hit_d, jnp.logical_not(horizon_first))
+        )
+        hit_horizon = jnp.logical_and(applied, horizon_first)
+
+        # Record the crossing into slot `count` (static unroll over K).
+        cross = list(s["cross"])
+        count = s["count"]
+        for k in range(K):
+            put = jnp.logical_and(crossing, count == float(k))
+            cx_, cy_, cz_, cdx, cdy, cdz, cv = cross[k]
+            cross[k] = (
+                jnp.where(put, hx, cx_),
+                jnp.where(put, hy, cy_),
+                jnp.where(put, hz, cz_),
+                jnp.where(put, ndx, cdx),
+                jnp.where(put, ndy, cdy),
+                jnp.where(put, ndz, cdz),
+                jnp.where(put, 1.0, cv),
+            )
+        count = count + jnp.where(crossing, 1.0, 0.0)
+        amount_ub = s["amount_ub"] * jnp.where(crossing, 1.0 - op_min, 1.0)
+
+        # --- advance state ---
+        out_px = jnp.where(applied, npx, px)
+        out_py = jnp.where(applied, npy, py)
+        out_pz = jnp.where(applied, npz, pz)
+        out_dx = jnp.where(applied, ndx, dx)
+        out_dy = jnp.where(applied, ndy, dy)
+        out_dz = jnp.where(applied, ndz, dz)
+        h_out = jnp.where(act, h_next, s["h"])
+
+        dist_sq = (out_px - bx) ** 2 + (out_py - by) ** 2 + (out_pz - bz) ** 2
+        dist_new = jnp.sqrt(dist_sq)
+        closest = jnp.where(applied, jnp.minimum(s["closest"], dist_new), s["closest"])
+
+        exited_now = jnp.logical_and(applied, dist_new > rel_r)
+        absorbed = jnp.logical_or(
+            hit_horizon, jnp.logical_and(act, amount_ub < cutoff)
+        )
+        horizon = jnp.where(hit_horizon, 1.0, s["horizon"])
+        exited = jnp.where(exited_now, 1.0, s["exited"])
+        act_out = jnp.logical_and(
+            act, jnp.logical_not(jnp.logical_or(exited_now, absorbed))
+        )
+        steps = s["steps"] + jnp.where(act, 1.0, 0.0)
+
+        return dict(
+            px=out_px, py=out_py, pz=out_pz, dx=out_dx, dy=out_dy, dz=out_dz,
+            h=h_out, act=act_out, steps=steps, closest=closest,
+            amount_ub=amount_ub, horizon=horizon, exited=exited,
+            cross=cross, count=count, it=s["it"] + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, init)
+
+    out_ref[0, _OUT_FIXED["px"]] = final["px"]
+    out_ref[0, _OUT_FIXED["py"]] = final["py"]
+    out_ref[0, _OUT_FIXED["pz"]] = final["pz"]
+    out_ref[0, _OUT_FIXED["dx"]] = final["dx"]
+    out_ref[0, _OUT_FIXED["dy"]] = final["dy"]
+    out_ref[0, _OUT_FIXED["dz"]] = final["dz"]
+    out_ref[0, _OUT_FIXED["steps"]] = final["steps"]
+    out_ref[0, _OUT_FIXED["closest"]] = final["closest"]
+    out_ref[0, _OUT_FIXED["horizon"]] = final["horizon"]
+    out_ref[0, _OUT_FIXED["exited"]] = final["exited"]
+    out_ref[0, _OUT_FIXED["h"]] = final["h"]
+    for k in range(K):
+        base = OUT_FIXED + k * CROSS_FIELDS
+        for f in range(CROSS_FIELDS):
+            out_ref[0, base + f] = final["cross"][k][f]
+
+
+@functools.partial(jax.jit, static_argnames=("kcfg",))
+def march_pallas(rays, params, kcfg: MarchKernelConfig):
+    """Run the march kernel.
+
+    rays: (N, 8) float32 — px, py, pz, dx, dy, dz, h0, active — N a
+    multiple of 1024.  params: (NUM_PARAMS,) float32 per _P.
+    Returns (N, OUT_FIXED + 7K) float32.
+    """
+    n = rays.shape[0]
+    assert n % LANES == 0, f"ray count {n} not a multiple of {LANES}"
+    tiles = n // LANES
+    fout = OUT_FIXED + CROSS_FIELDS * kcfg.max_crossings
+
+    rays_t = rays.reshape(tiles, 8, 128, 8).transpose(0, 3, 1, 2)
+    params2 = params.reshape(1, NUM_PARAMS)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, kcfg=kcfg),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, NUM_PARAMS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, fout, 8, 128), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tiles, fout, 8, 128), jnp.float32),
+        interpret=kcfg.interpret,
+    )(params2, rays_t)
+
+    return out.transpose(0, 2, 3, 1).reshape(n, fout)
+
+
+def pack_params(black_hole, disk_normal, cfg) -> jnp.ndarray:
+    """Build the SMEM parameter vector from scene + config."""
+    vals = [
+        black_hole.position[0], black_hole.position[1], black_hole.position[2],
+        black_hole.mass, black_hole.horizon_radius, black_hole.relativity_radius,
+        disk_normal[0], disk_normal[1], disk_normal[2],
+        black_hole.disk_inner, black_hole.disk_outer,
+        jnp.float32(cfg.step_size), jnp.float32(cfg.opacity_cutoff),
+        jnp.float32(cfg.rk_rtol), jnp.float32(cfg.rk_safety),
+        jnp.float32(cfg.rk_min_factor), jnp.float32(cfg.rk_max_factor),
+        jnp.float32(cfg.rk_h_min), jnp.float32(cfg.rk_h_max),
+    ]
+    return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])

@@ -1,0 +1,196 @@
+"""Multi-device / multi-host parallelism: tile sharding + inverse rendering.
+
+The reference is strictly single-GPU — its only "communication backend" is
+one wgpu queue (SURVEY.md §2 "Parallelism components").  Here distribution
+is a first-class subsystem, built the TPU way (no NCCL/MPI analogues):
+
+* rays are embarrassingly parallel, so the image is **tile-sharded** over a
+  1-D device mesh ("tiles" axis) with `jax.sharding.NamedSharding`; XLA
+  GSPMD partitions the whole jitted render, keeping the march loop local to
+  each device and inserting collectives only where the post chain needs
+  neighbours;
+* inverse rendering (the "training" workload) replicates scene parameters,
+  shards the target image and pixel losses, and lets XLA all-reduce the
+  parameter gradients over ICI during the checkpointed backward sweep;
+* multi-host bring-up is `jax.distributed.initialize` + the same mesh over
+  all processes' devices.
+
+Tests exercise all of this on a CPU mesh of 8 virtual devices
+(conftest.py); the same code runs unchanged on real TPU slices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from bhx.config import RenderConfig
+from bhx.pipeline import render
+from bhx.scene import Scene
+from bhx.tracer import camera_rays, trace_rays
+
+TILE_AXIS = "tiles"
+
+
+def tile_mesh(devices=None) -> Mesh:
+    """1-D mesh over all (or the given) devices, named 'tiles'."""
+    devices = jax.devices() if devices is None else devices
+    return Mesh(np.asarray(devices), (TILE_AXIS,))
+
+
+def init_distributed(coordinator: Optional[str] = None, **kw) -> None:
+    """Multi-host process bring-up (no-op if single-process)."""
+    if jax.process_count() > 1:
+        return
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator_address=coordinator, **kw)
+
+
+def _pad_rows(h: int, n: int) -> int:
+    return -(-h // n) * n
+
+
+def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                        width: int, height: int):
+    """Dense trace with pixel rows sharded across the mesh.
+
+    Returns the (height, width, 4) alpha-encoded trace.  Rays are generated
+    host-side-of-jit, resharded row-wise, traced under GSPMD, and the
+    result is reassembled (still sharded — downstream ops decide layout).
+    """
+    o, d = camera_rays(scene.camera, width, height)
+    n = mesh.devices.size
+    hp = _pad_rows(height, n)
+    pad = hp - height
+    if pad:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (pad, width, 3))], axis=0)
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (pad, width, 3))], axis=0)
+    row_sharding = NamedSharding(mesh, P(TILE_AXIS))
+    o = jax.device_put(o.reshape(hp * width, 3).reshape(n, -1, 3), row_sharding)
+    d = jax.device_put(d.reshape(hp * width, 3).reshape(n, -1, 3), row_sharding)
+    scene_rep = jax.device_put(scene, NamedSharding(mesh, P()))
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def go(o, d, scene, cfg):
+        out = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
+        return out
+
+    out = go(o, d, scene_rep, cfg)
+    return out.reshape(hp, width, 4)[:height]
+
+
+def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None):
+    """Full render with the trace tile-sharded over the mesh.
+
+    The post chain runs on the gathered image (it is <1% of frame cost; a
+    sharded post chain with halo exchange is a later optimization).
+    """
+    mesh = mesh or tile_mesh()
+    from bhx.pipeline import sky_pass
+    from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
+
+    img4 = trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def post(img4, scene, cfg):
+        rgb = sky_pass(img4, scene.sky_texture) if cfg.show_sky else jnp.where(
+            img4[..., 3:] == 0.0, 0.0, img4[..., :3]
+        )
+        if cfg.bloom.enabled:
+            rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
+        if cfg.tonemap:
+            rgb = tonemap_pass(rgb)
+        if cfg.fxaa.enabled:
+            rgb = fxaa_pass(rgb, cfg.fxaa)
+        return rgb
+
+    return post(img4, scene, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Inverse rendering (the training workload)
+# ---------------------------------------------------------------------------
+
+# The differentiable parameter subset used by fit_scene / the dry run.
+PARAM_FIELDS = ("mass", "disk_rotation", "disk_inner", "disk_outer", "feather")
+CAMERA_FIELDS = ("position", "fov")
+
+
+def scene_params(scene: Scene) -> Dict[str, Any]:
+    p = {f: getattr(scene.black_hole, f) for f in PARAM_FIELDS}
+    p.update({f"cam_{f}": getattr(scene.camera, f) for f in CAMERA_FIELDS})
+    return p
+
+
+def apply_params(scene: Scene, params: Dict[str, Any]) -> Scene:
+    bh = dataclasses.replace(
+        scene.black_hole, **{f: params[f] for f in PARAM_FIELDS}
+    )
+    cam = dataclasses.replace(
+        scene.camera, **{f: params[f"cam_{f}"] for f in CAMERA_FIELDS}
+    )
+    return dataclasses.replace(scene, black_hole=bh, camera=cam)
+
+
+def make_optimizer(lr: float = 1e-2):
+    import optax
+
+    return optax.adam(lr)
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimizer"))
+def train_step(params, opt_state, scene: Scene, target, cfg: RenderConfig,
+               optimizer):
+    """One inverse-rendering step: L2 image loss -> grads -> adam update.
+
+    Under a tile-sharded target, XLA partitions the forward+backward sweep
+    by pixels and all-reduces the (replicated) parameter gradients — the
+    TPU equivalent of the reference-less "grads all-reduced overlapped with
+    backward" north-star requirement.
+    """
+
+    def loss_fn(p):
+        s = apply_params(scene, p)
+        img = render(s, cfg)
+        return jnp.mean((img - target) ** 2)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = optimizer.update(grads, opt_state)
+    import optax
+
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def fit_scene(
+    scene: Scene,
+    target,
+    cfg: RenderConfig,
+    steps: int = 100,
+    lr: float = 1e-2,
+    mesh: Optional[Mesh] = None,
+    verbose: bool = False,
+) -> Tuple[Dict[str, Any], list]:
+    """Fit scene parameters to a target image (gradient descent)."""
+    mesh = mesh or tile_mesh()
+    optimizer = make_optimizer(lr)
+    params = scene_params(scene)
+    opt_state = optimizer.init(params)
+    target = jax.device_put(
+        jnp.asarray(target), NamedSharding(mesh, P(TILE_AXIS))
+    )
+    losses = []
+    for i in range(steps):
+        params, opt_state, loss = train_step(
+            params, opt_state, scene, target, cfg, optimizer
+        )
+        losses.append(float(loss))
+        if verbose and i % 10 == 0:
+            print(f"step {i}: loss {losses[-1]:.6f}")
+    return params, losses

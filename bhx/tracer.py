@@ -1,0 +1,439 @@
+"""The geodesic ray tracer: phase-decomposed, batched, differentiable.
+
+Re-designs the reference's per-pixel megakernel loop (trace_ray,
+ray.wgsl:482-596) into a TPU-shaped pipeline.  The reference interleaves
+three very different workloads in one divergent loop:
+
+  (a) straight-line scene tests outside the "relativity sphere"
+      (meshes + sphere entry — ray.wgsl:554-569),
+  (b) the geodesic march inside the sphere (integrator + BH/disk segment
+      tests — ray.wgsl:522-553),
+  (c) boundary feathering on exit (ray.wgsl:543-553).
+
+Observing that mesh BVH traversal only ever happens on straight segments,
+we split the tracer into alternating *straight* and *march* phases over
+dense ray batches:
+
+  straight -> [march -> straight] x ROUNDS
+
+Each straight phase is two batched intersections (meshes via
+bhx.geometry.traverse, sphere analytically); each march phase is a pure-VPU
+masked loop with no gathers except the disk-texture sample.  Rays that exit
+the sphere re-run a straight phase (which also handles the rare re-entry of
+strongly bent rays — the reference's outside branch does the same,
+ray.wgsl:563-565).
+
+Differentiability: march mode "diff" uses a fixed-length, chunk-checkpointed
+lax.scan (reverse-differentiable through the whole integrator sweep); mode
+"fast" uses an early-exiting lax.while_loop for forward-only rendering.
+Mesh visibility is wrapped in stop_gradient (hard visibility has no useful
+gradient).  Output alpha encoding matches the reference exactly: escaped
+rays return (escape_direction, 0), everything else (color, 1) with sky
+composited (ray.wgsl:583-595).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from bhx.config import Integrator, RenderConfig
+from bhx.geometry.intersect import MISS_T, T_MIN, hit_annulus, hit_sphere, hit_sphere_both
+from bhx.geometry.traverse import intersect_meshes
+from bhx.integrate import euler_step, rk45_step
+from bhx.scene import Scene
+from bhx.shading import disk_shade, sample_sky
+
+# How many march->straight rounds to run: round 0 handles all primary
+# entries; later rounds handle the rare re-entry of strongly bent rays.
+DEFAULT_ROUNDS = 2
+
+
+def camera_rays(camera, width: int, height: int) -> Tuple[jax.Array, jax.Array]:
+    """Per-pixel ray origins/directions (reference create_ray ray.wgsl:269-285).
+
+    Returns origins (H, W, 3), directions (H, W, 3).  NDC scale is
+    2 / (min(W, H) - 1) about the image center; the camera basis uses
+    world-up (0, -1, 0) to match the reference's flipped-y convention.
+    """
+    sm = min(width, height) - 1
+    inc = 2.0 / sm
+    xs = (jnp.arange(width, dtype=jnp.float32) - (width - 1) / 2.0) * inc
+    ys = (jnp.arange(height, dtype=jnp.float32) - (height - 1) / 2.0) * inc
+    px, py = jnp.meshgrid(xs, ys, indexing="xy")  # (H, W)
+
+    fwd = camera.forward / jnp.linalg.norm(camera.forward)
+    plane_up = jnp.array([0.0, -1.0, 0.0])
+    right = jnp.cross(fwd, plane_up)
+    right = right / jnp.linalg.norm(right)
+    up = jnp.cross(fwd, right)
+    up = up / jnp.linalg.norm(up)
+    fov_factor = 1.0 / jnp.tan(camera.fov / 2.0)
+
+    d = (
+        px[..., None] * right
+        + py[..., None] * up
+        + fov_factor * fwd
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(camera.position, d.shape)
+    return o, d
+
+
+def _init_state(origins, directions):
+    n = origins.shape[0]
+    f = jnp.float32
+    return dict(
+        pos=origins.astype(f),
+        dir=directions.astype(f),
+        orig_dir=directions.astype(f),
+        color=jnp.zeros((n, 3), f),
+        amount=jnp.ones((n,), f),
+        hit=jnp.zeros((n,), bool),
+        # status: 0 = needs straight phase, 1 = marching, 2 = done-escaped,
+        # 3 = done-absorbed (opaque hit / captured)
+        status=jnp.zeros((n,), jnp.int32),
+        march_steps=jnp.zeros((n,), jnp.int32),
+        entered=jnp.zeros((n,), bool),
+        h=jnp.zeros((n,), f),
+        closest=jnp.zeros((n,), f),
+    )
+
+
+def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
+    """Straight-ray scene test for rays with status 0.
+
+    Mirrors the reference's outside branch (ray.wgsl:554-569): nearest of
+    (mesh hit, relativity-sphere entry) wins; a mesh hit composites and
+    absorbs (meshes are opaque); a sphere hit advances the ray to the
+    boundary and switches it to marching; neither -> done (escape).
+    """
+    bh = scene.black_hole
+    mask = state["status"] == 0
+    pos, d = state["pos"], state["dir"]
+
+    r_sphere = bh.relativity_radius
+    t1, t2, real = hit_sphere_both(pos, d, bh.position, r_sphere)
+    # Nearest root in (T_MIN, T_MAX) — reference hit_sphere semantics.
+    v1 = real & (t1 > T_MIN) & (t1 < MISS_T)
+    v2 = real & (t2 > T_MIN) & (t2 < MISS_T)
+    sphere_t = jnp.where(v1, t1, jnp.where(v2, t2, MISS_T))
+    sphere_hit = v1 | v2
+
+    dist_bh = jnp.linalg.norm(pos - bh.position, axis=-1)
+    inside = dist_bh < r_sphere
+
+    if cfg.render_meshes and len(scene.meshes) > 0:
+        mesh = intersect_meshes(pos, d, scene.meshes)
+        mesh = jax.tree_util.tree_map(jax.lax.stop_gradient, mesh)
+    else:
+        nloc = pos.shape[0]
+        mesh = {
+            "t": jnp.full((nloc,), MISS_T),
+            "hit": jnp.zeros((nloc,), bool),
+            "color": jnp.zeros((nloc, 3)),
+            "normal": jnp.zeros((nloc, 3)),
+        }
+
+    enters = mask & (inside | (sphere_hit & (sphere_t < mesh["t"])))
+    mesh_wins = mask & ~enters & mesh["hit"]
+    escapes = mask & ~enters & ~mesh["hit"]
+
+    # Composite opaque mesh hit (reference ray.wgsl:571-576 with opacity 1).
+    add = state["amount"][:, None] * jnp.clip(mesh["color"], 0.0, 1.0)
+    color = jnp.where(mesh_wins[:, None], state["color"] + add, state["color"])
+    amount = jnp.where(mesh_wins, 0.0, state["amount"])
+    hit = state["hit"] | mesh_wins
+
+    # Advance entering rays to the boundary (no-op if already inside).
+    adv = jnp.where((enters & ~inside)[:, None], d * sphere_t[:, None], 0.0)
+    new_pos = pos + adv
+
+    status = jnp.where(
+        enters,
+        jnp.int32(1),
+        jnp.where(mesh_wins, jnp.int32(3), jnp.where(escapes, jnp.int32(2), state["status"])),
+    )
+
+    state = dict(state)
+    state.update(
+        pos=new_pos,
+        color=color,
+        amount=amount,
+        hit=hit,
+        status=status,
+        entered=state["entered"] | enters,
+        h=jnp.where(enters, jnp.float32(cfg.step_size), state["h"]),
+        closest=jnp.where(
+            enters, jnp.linalg.norm(new_pos - bh.position, axis=-1), state["closest"]
+        ),
+    )
+    return state
+
+
+def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
+    """Pallas-kernel march: the kernel records crossing geometry; shading +
+    compositing happen here on dense arrays (see bhx.kernels.march_pallas)."""
+    from bhx.kernels.march_pallas import (
+        CROSS_FIELDS,
+        LANES,
+        MarchKernelConfig,
+        OUT_FIXED,
+        march_pallas,
+        pack_params,
+    )
+
+    bh = scene.black_hole
+    rot_mat, disk_normal = bh.disk_frame()
+    n = state["pos"].shape[0]
+    pad = (-n) % LANES
+    np_ = n + pad
+
+    active = (state["status"] == 1).astype(jnp.float32)
+    rays = jnp.concatenate(
+        [
+            state["pos"],
+            state["dir"],
+            state["h"][:, None],
+            active[:, None],
+        ],
+        axis=-1,
+    )
+    if pad:
+        rays = jnp.concatenate([rays, jnp.zeros((pad, 8), jnp.float32)], axis=0)
+
+    kcfg = MarchKernelConfig(
+        integrator="euler" if cfg.integrator == Integrator.EULER else "rk45",
+        max_iterations=cfg.max_iterations,
+        tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
+        show_disk=cfg.show_disk,
+        interpret=cfg.march_mode == "pallas_interpret",
+    )
+    params = pack_params(bh, disk_normal, cfg)
+    out = march_pallas(rays, params, kcfg)[:n]
+
+    was = state["status"] == 1
+    pos = jnp.where(was[:, None], out[:, 0:3], state["pos"])
+    dir_raw = jnp.where(was[:, None], out[:, 3:6], state["dir"])
+    steps = state["march_steps"] + jnp.where(was, out[:, 6], 0.0).astype(jnp.int32)
+    closest = jnp.where(was, out[:, 7], state["closest"])
+    horizon = was & (out[:, 8] > 0.5)
+    exited = was & (out[:, 9] > 0.5)
+    h_new = jnp.where(was, out[:, 10], state["h"])
+
+    # --- shade + composite recorded crossings, in slot order ---
+    color = state["color"]
+    amount = state["amount"]
+    hit = state["hit"]
+    K = kcfg.max_crossings
+    for k in range(K):
+        base = OUT_FIXED + k * CROSS_FIELDS
+        point = out[:, base : base + 3]
+        cdir = out[:, base + 3 : base + 6]
+        valid = was & (out[:, base + 6] > 0.5)
+        if cfg.show_disk:
+            rgb, op = disk_shade(
+                point, cdir, cam_dist, bh, rot_mat,
+                scene.disk_texture, scene.temp_lut, scene.time,
+                show_texture=cfg.show_disk_texture,
+                show_redshift=cfg.show_redshift,
+            )
+            add = (amount * op)[:, None] * jnp.clip(rgb, 0.0, 1.0)
+            color = jnp.where(valid[:, None], color + add, color)
+            amount = jnp.where(valid, amount * (1.0 - op), amount)
+            hit = hit | valid
+    # Horizon: opaque black, terminal (no color contribution).
+    amount = jnp.where(horizon, 0.0, amount)
+    hit = hit | horizon
+
+    # --- feather the exit direction (reference ray.wgsl:543-553) ---
+    fw = bh.relativity_radius * bh.feather
+    fs = bh.relativity_radius - fw
+    lin = jnp.clip((closest - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
+    mix_amount = (lin * lin)[:, None]
+    feathered = dir_raw + (state["orig_dir"] - dir_raw) * mix_amount
+    direction = jnp.where(exited[:, None], feathered, dir_raw)
+
+    absorbed = was & ((amount < cfg.opacity_cutoff) | horizon)
+    over_budget = was & ~exited & ~absorbed  # kernel ran out of iterations
+    status = state["status"]
+    status = jnp.where(exited & ~absorbed, jnp.int32(0), status)
+    status = jnp.where(absorbed, jnp.int32(3), status)
+    status = jnp.where(over_budget, jnp.int32(2), status)
+
+    new_state = dict(state)
+    new_state.update(
+        pos=pos, dir=direction, h=h_new, color=color, amount=amount, hit=hit,
+        closest=closest, march_steps=steps, status=status,
+    )
+    return new_state
+
+
+def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
+    """Masked geodesic march for rays with status 1 (reference inside
+    branch, ray.wgsl:522-553)."""
+    if cfg.march_mode in ("pallas", "pallas_interpret"):
+        return _march_phase_pallas(state, scene, cfg, cam_dist)
+    bh = scene.black_hole
+    rot_mat, disk_normal = bh.disk_frame()
+
+    def step(s):
+        active = s["status"] == 1
+        pos, d, h = s["pos"], s["dir"], s["h"]
+
+        if cfg.integrator == Integrator.EULER:
+            new_pos, new_dir = euler_step(pos, d, cfg.step_size, bh.position, bh.mass)
+            h_used = jnp.full_like(h, cfg.step_size)
+            h_next = h_used
+            applied = active
+        else:
+            rk = rk45_step(
+                pos, d, h, bh.position, bh.mass,
+                rtol=cfg.rk_rtol, safety=cfg.rk_safety,
+                min_factor=cfg.rk_min_factor, max_factor=cfg.rk_max_factor,
+                h_min=cfg.rk_h_min, h_max=cfg.rk_h_max,
+            )
+            new_pos, new_dir = rk.pos, rk.direction
+            h_used, h_next = rk.h_used, rk.h_next
+            applied = active & rk.accept
+
+        app3 = applied[:, None]
+        pos_out = jnp.where(app3, new_pos, pos)
+        dir_out = jnp.where(app3, new_dir, d)
+        h_out = jnp.where(active, h_next, h)
+
+        # Segment hit tests from the previous position along the *new*
+        # direction, bounded by the step length (reference ray.wgsl:539-541).
+        seg_o, seg_d = pos, dir_out
+        t_h, hit_h = hit_sphere(seg_o, seg_d, bh.position, bh.horizon_radius,
+                                t_min=T_MIN, t_max=h_used)
+        if cfg.show_disk:
+            t_dk, hit_dk, point_dk, _ = hit_annulus(
+                seg_o, seg_d, bh.position, disk_normal,
+                bh.disk_inner, bh.disk_outer, t_min=T_MIN, t_max=h_used,
+            )
+            dk_rgb, dk_op = disk_shade(
+                point_dk, seg_d, cam_dist, bh, rot_mat,
+                scene.disk_texture, scene.temp_lut, scene.time,
+                show_texture=cfg.show_disk_texture,
+                show_redshift=cfg.show_redshift,
+            )
+        else:
+            t_dk = jnp.full_like(t_h, MISS_T)
+            hit_dk = jnp.zeros_like(hit_h)
+            dk_rgb = jnp.zeros_like(pos)
+            dk_op = jnp.zeros_like(t_h)
+
+        horizon_first = hit_h & (t_h <= t_dk)
+        seg_hit = applied & (hit_h | hit_dk)
+        op = jnp.where(horizon_first, 1.0, dk_op)
+        rgb = jnp.where(horizon_first[:, None], 0.0, jnp.clip(dk_rgb, 0.0, 1.0))
+
+        add = (s["amount"] * op)[:, None] * rgb
+        color = jnp.where(seg_hit[:, None], s["color"] + add, s["color"])
+        amount = jnp.where(seg_hit, s["amount"] * (1.0 - op), s["amount"])
+        hit_acc = s["hit"] | seg_hit
+
+        dist_new = jnp.linalg.norm(pos_out - bh.position, axis=-1)
+        closest = jnp.where(applied, jnp.minimum(s["closest"], dist_new), s["closest"])
+
+        # Exit + feather (reference ray.wgsl:543-553).
+        exited = applied & (dist_new > bh.relativity_radius)
+        fw = bh.relativity_radius * bh.feather
+        fs = bh.relativity_radius - fw
+        lin = jnp.clip((closest - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
+        mix_amount = lin * lin
+        feathered = dir_out + (s["orig_dir"] - dir_out) * mix_amount[:, None]
+        dir_out = jnp.where(exited[:, None], feathered, dir_out)
+
+        absorbed = active & (amount < cfg.opacity_cutoff)
+        # Count every loop pass (accepted or RK-rejected) toward the budget,
+        # like the reference's for-loop counter — this also bounds the
+        # rejected-step retry chain.
+        steps = s["march_steps"] + active.astype(jnp.int32)
+        over_budget = active & (steps >= cfg.max_iterations)
+
+        status = s["status"]
+        status = jnp.where(active & exited & ~absorbed, jnp.int32(0), status)
+        status = jnp.where(absorbed, jnp.int32(3), status)
+        # Out-of-budget spiralling rays: classified escaped with their
+        # current direction (reference falls through to the alpha-0 return).
+        status = jnp.where(over_budget & ~exited & ~absorbed, jnp.int32(2), status)
+
+        out = dict(s)
+        out.update(
+            pos=pos_out, dir=dir_out, h=h_out, color=color, amount=amount,
+            hit=hit_acc, closest=closest, march_steps=steps, status=status,
+        )
+        return out
+
+    if cfg.march_mode == "fast":
+        def cond(s):
+            return jnp.any(s["status"] == 1)
+
+        state = jax.lax.while_loop(cond, step, state)
+    else:
+        ckpt = max(1, int(cfg.checkpoint_every))
+        n_chunks = -(-cfg.max_iterations // ckpt)
+
+        @jax.checkpoint
+        def chunk(s, _):
+            def body(ss, __):
+                return step(ss), None
+
+            s, _ = jax.lax.scan(body, s, None, length=ckpt)
+            return s, None
+
+        state, _ = jax.lax.scan(chunk, state, None, length=n_chunks)
+    return state
+
+
+def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
+               rounds: int = DEFAULT_ROUNDS):
+    """Trace a flat batch of rays. origins/directions: (N, 3).
+
+    Returns (N, 4): rgb + the reference's alpha encoding — alpha 1 for rays
+    whose color is final (sky already composited into the residual
+    transmission), alpha 0 with rgb = escape direction for clean escapes
+    (consumed by the ladder interpolation and the sky pass).
+    """
+    bh = scene.black_hole
+    state = _init_state(origins, directions)
+    cam_dist = jnp.linalg.norm(origins - bh.position, axis=-1)
+
+    for _ in range(rounds):
+        state = _straight_phase(state, scene, cfg, cam_dist)
+        state = _march_phase(state, scene, cfg, cam_dist)
+    # Rays still wanting a straight phase after the last march get it once
+    # more; any that would re-enter yet again are treated as escapes.
+    state = _straight_phase(state, scene, cfg, cam_dist)
+    state["status"] = jnp.where(state["status"] == 1, jnp.int32(2), state["status"])
+
+    # Classification (reference ray.wgsl:583-595): final-color pixels are
+    # those that composited something, plus near-trivial marches (i <= 5);
+    # the remaining escapees emit (direction, alpha=0).
+    total_iters = state["march_steps"] + state["entered"].astype(jnp.int32)
+    few = total_iters <= cfg.few_iters_threshold
+    final_alpha1 = state["hit"] | few
+    escape = ~final_alpha1
+
+    color = state["color"]
+    if cfg.show_sky:
+        sky = sample_sky(scene.sky_texture, state["dir"])
+        add_sky = final_alpha1 & (state["amount"] > 0.001)
+        color = jnp.where(add_sky[:, None], color + state["amount"][:, None] * sky, color)
+
+    rgb = jnp.where(escape[:, None], state["dir"], color)
+    alpha = jnp.where(escape, 0.0, 1.0)
+    return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+
+def trace_image(scene: Scene, cfg: RenderConfig, width: int, height: int,
+                rounds: int = DEFAULT_ROUNDS):
+    """Trace every pixel of a (height, width) image densely."""
+    o, d = camera_rays(scene.camera, width, height)
+    out = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg, rounds)
+    return out.reshape(height, width, 4)

@@ -1,0 +1,90 @@
+"""Distributed tests on the 8-virtual-CPU-device mesh (SURVEY.md §4.4):
+sharded render == single-device render; sharded train step runs and
+all-reduces parameter gradients."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bhx.parallel import (
+    TILE_AXIS,
+    apply_params,
+    make_optimizer,
+    scene_params,
+    tile_mesh,
+    trace_image_sharded,
+    train_step,
+)
+from bhx.tracer import trace_image
+
+from tests.common import DIFF_CFG, FAST_CFG, small_scene
+
+
+def test_eight_devices_present():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_trace_matches_single_device():
+    scene = small_scene()
+    mesh = tile_mesh(jax.devices()[:8])
+    # Height 40 = 8 x 5 rows per device.
+    cfg = dataclasses.replace(FAST_CFG, width=48, height=40)
+    img_sharded = np.asarray(
+        trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
+    )
+    img_single = np.asarray(trace_image(scene, cfg, cfg.width, cfg.height))
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-4)
+
+
+def test_sharded_trace_handles_ragged_rows():
+    scene = small_scene()
+    mesh = tile_mesh(jax.devices()[:8])
+    cfg = dataclasses.replace(FAST_CFG, width=48, height=37)  # 37 % 8 != 0
+    img_sharded = np.asarray(
+        trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
+    )
+    assert img_sharded.shape == (37, 48, 4)
+    img_single = np.asarray(trace_image(scene, cfg, cfg.width, cfg.height))
+    np.testing.assert_allclose(img_sharded, img_single, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_train_step_sharded_decreases_loss():
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    scene = small_scene()
+    mesh = tile_mesh(jax.devices()[:8])
+    cfg = dataclasses.replace(DIFF_CFG, width=32, height=16, max_iterations=60)
+
+    optimizer = make_optimizer(5e-3)
+    params = scene_params(scene)
+    opt_state = optimizer.init(params)
+
+    # Target: the scene itself with a slightly different mass.
+    bh = dataclasses.replace(scene.black_hole, mass=jnp.float32(0.55))
+    target_scene = dataclasses.replace(scene, black_hole=bh)
+    from bhx.pipeline import render
+
+    target = render(target_scene, cfg)
+    target = jax.device_put(target, NamedSharding(mesh, P(TILE_AXIS)))
+    replicated = NamedSharding(mesh, P())
+    params = jax.device_put(params, replicated)
+    scene_r = jax.device_put(scene, replicated)
+
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = train_step(
+            params, opt_state, scene_r, target, cfg, optimizer
+        )
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+    # Replicated param shards must stay identical across devices
+    # (grads all-reduced consistently).
+    mass = params["mass"]
+    vals = [np.asarray(s.data) for s in mass.addressable_shards]
+    for v in vals[1:]:
+        np.testing.assert_array_equal(vals[0], v)

@@ -1,0 +1,124 @@
+"""Differentiability tests: autodiff pixel gradients vs central finite
+differences (the BASELINE.md parity gate, SURVEY.md §4.3).
+
+Hard visibility edges make raw FD unreliable: a pixel whose hit
+classification flips between theta-eps and theta+eps shows an O(1/eps)
+jump that no pointwise derivative matches.  The gate therefore compares AD
+to FD only on FD-*stable* pixels — those where FD(eps) and FD(eps/2) agree
+— which is exactly the piecewise-smooth set the reference's physics defines
+(SURVEY.md §7 hard part 2).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bhx.pipeline import render
+from tests.common import DIFF_CFG, small_scene
+
+CFG = dataclasses.replace(DIFF_CFG, width=32, height=18, max_iterations=150)
+
+
+def _image_fn(update_scene):
+    scene = small_scene()
+
+    def f(theta):
+        return render(update_scene(scene, theta), CFG)
+
+    return f
+
+
+def _check_grad_parity(update_scene, theta0, eps, min_stable_frac=0.5,
+                       atol=3e-3, rtol=0.15):
+    f = jax.jit(_image_fn(update_scene))
+    theta0 = jnp.float32(theta0)
+
+    # Forward-mode AD pixel derivative.
+    _, ad = jax.jvp(f, (theta0,), (jnp.float32(1.0),))
+    ad = np.asarray(ad)
+
+    def fd(e):
+        return np.asarray((f(theta0 + e) - f(theta0 - e)) / (2.0 * e))
+
+    fd1 = fd(eps)
+    fd2 = fd(eps * 0.5)
+    scale = np.maximum(np.abs(fd1), np.abs(fd2))
+    stable = np.abs(fd1 - fd2) <= 0.05 * scale + 1e-4
+    frac = stable.mean()
+    assert frac >= min_stable_frac, f"too few FD-stable pixels: {frac}"
+
+    err = np.abs(ad - fd1)
+    ok = err <= atol + rtol * np.abs(fd1)
+    bad_frac = (~ok & stable).mean()
+    assert bad_frac < 0.02, (
+        f"AD/FD mismatch on {bad_frac:.1%} of stable pixels; "
+        f"max err {err[stable].max():.4g}"
+    )
+
+
+@pytest.mark.slow
+def test_grad_wrt_mass():
+    def upd(scene, theta):
+        bh = dataclasses.replace(scene.black_hole, mass=theta)
+        return dataclasses.replace(scene, black_hole=bh)
+
+    _check_grad_parity(upd, 0.5, eps=1e-3)
+
+
+@pytest.mark.slow
+def test_grad_wrt_camera_x():
+    def upd(scene, theta):
+        cam = dataclasses.replace(
+            scene.camera,
+            position=scene.camera.position + jnp.array([1.0, 0.0, 0.0]) * theta,
+        )
+        return dataclasses.replace(scene, camera=cam)
+
+    _check_grad_parity(upd, 0.0, eps=1e-3)
+
+
+@pytest.mark.slow
+def test_grad_wrt_disk_outer():
+    def upd(scene, theta):
+        bh = dataclasses.replace(scene.black_hole, disk_outer=theta)
+        return dataclasses.replace(scene, black_hole=bh)
+
+    _check_grad_parity(upd, 10.0, eps=1e-2)
+
+
+@pytest.mark.slow
+def test_grad_wrt_disk_texture_flows():
+    """Reverse-mode gradient w.r.t. the whole disk texture is nonzero and
+    finite (inverse-rendering main path)."""
+    scene = small_scene()
+
+    def loss(tex):
+        s = dataclasses.replace(scene, disk_texture=tex)
+        return jnp.sum(render(s, CFG) ** 2)
+
+    g = jax.grad(loss)(scene.disk_texture)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+
+@pytest.mark.slow
+def test_reverse_grad_finite_wrt_scene():
+    """grad of a scalar loss w.r.t. (mass, fov, feather) is finite."""
+    scene = small_scene()
+
+    def loss(mass, fov, feather):
+        bh = dataclasses.replace(scene.black_hole, mass=mass, feather=feather)
+        cam = dataclasses.replace(scene.camera, fov=fov)
+        s = dataclasses.replace(scene, black_hole=bh, camera=cam)
+        return jnp.mean(render(s, CFG))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.float32(0.5), jnp.float32(1.0), jnp.float32(0.3)
+    )
+    for v in g:
+        assert np.isfinite(float(v))
