@@ -14,7 +14,8 @@ import jax
 
 
 def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
-              dense: bool = False, warmup: int = 2) -> Dict:
+              dense: bool = False, warmup: int = 2,
+              march_mode: str = "pallas") -> Dict:
     import dataclasses
 
     import jax.numpy as jnp
@@ -29,7 +30,7 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
         height=height,
         use_ladder=not dense,
         ladder=LadderConfig.for_resolution(width, height, 4),
-        march_mode="fast",
+        march_mode=march_mode,
     )
 
     @jax.jit

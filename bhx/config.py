@@ -142,6 +142,10 @@ class RenderConfig:
     height: int = 1081
 
     # --- geodesic march (reference RayDetails, ray_pipeline.rs:5-14) ---
+    # "pseudo": the reference's pseudo-Newtonian bending force (fast,
+    # Pallas-accelerated).  "kerr": exact Kerr null geodesics via the
+    # autodiff Hamiltonian in bhx.kerr (spin-capable; jnp path only).
+    geodesics: str = "pseudo"
     integrator: Integrator = Integrator.RK45
     step_size: float = 0.15
     max_iterations: int = 2000
@@ -186,6 +190,12 @@ class RenderConfig:
     march_mode: str = "fast"
     # Checkpoint every this many march steps in diff mode.
     checkpoint_every: int = 50
+    # Pallas mode: march this many steps per kernel round, then compact
+    # still-active rays (sort) before the next round.
+    pallas_round_steps: int = 256
+    # Steps between the kernel's all-lanes-done votes (budget-capped rays
+    # may overrun by up to this many steps; see march_pallas.VOTE_EVERY).
+    pallas_vote_every: int = 32
     dtype: str = "float32"
 
     def ladder_for_output(self) -> LadderConfig:

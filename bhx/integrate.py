@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from bhx.physics import angular_momentum_sq, geodesic_accel
@@ -148,9 +149,12 @@ def rk45_step(
 
     err_ratio = err / rtol
     accept = err_ratio <= 1.0
-    # Standard controller: grow with p=5 on accept, shrink with p=4 on reject.
-    grow = safety * (err_ratio + 1e-12) ** (-0.2)
-    shrink = safety * (err_ratio + 1e-12) ** (-0.25)
+    # Controller: the -0.25 exponent is used for both grow and shrink so the
+    # factor is two hardware rsqrts (rsqrt(rsqrt(x))) in the Pallas kernel —
+    # slightly conservative growth vs the textbook -0.2, identical clamps.
+    factor_raw = safety * jax.lax.rsqrt(jax.lax.rsqrt(err_ratio + 1e-12))
+    grow = factor_raw
+    shrink = factor_raw
     factor = jnp.where(
         accept,
         jnp.clip(grow, 1.0, max_factor),

@@ -11,22 +11,24 @@ around what the VPU does well:
   per-lane control flow.
 * **Record, don't shade.** Texture lookups are gathers, so the kernel
   never touches textures: it *records* the geometry of up to K disk
-  crossings per ray (position + direction per crossing).  Shading
+  crossings per ray (position + direction per crossing) straight into the
+  output ref, under a `pl.when(any(crossing))` guard so crossing-free
+  steps (the vast majority) skip the bookkeeping entirely.  Shading
   (disk texture, Doppler/gravitational tint) and alpha compositing run
   afterwards as dense vectorized jnp over the recorded slots — exactly
-  equivalent because shading depends only on crossing geometry, not on
-  march state.
+  equivalent because shading depends only on crossing geometry.
 * **Masked lane adaptivity.** RK45 step rejection/acceptance is a lane
   mask (rejected lanes retry with the shrunken h on the next loop pass);
   termination is a lane mask + an all-lanes-done vote in the while_loop
   condition, so a tile exits as soon as *its* rays are done — the TPU
   analogue of SIMT early exit at 1024-ray granularity (SURVEY.md §7
   hard part 1).
-* **Early-exit bound.** The true compositing amount depends on the disk
-  texture, which the kernel does not read; it tracks an upper bound
-  (texture opacity factor is in [0.7, 1], ray.wgsl:639) and stops lanes
-  only when even the bound is below the cutoff — conservative, never
-  changes the image.
+* **Transcendental-free steps.** r^-5 is rsqrt^5 (no pow), radial window
+  tests compare squared distances, and the early-exit opacity bound uses
+  the pow-free minorant x^1.3 >= min(x, x^2) instead of (30*dens)^1.3
+  (ray.wgsl:623), so a step is pure mul/add/select + two rsqrt.
+* **Unrolled loop.** UNROLL integration steps per while iteration
+  amortize the scalar-unit cond/branch overhead of the loop.
 
 The kernel runs in float32 (geodesics near the horizon need the mantissa;
 r^-5 in bf16 is hopeless).  Layouts: rays (T, 8, 8, 128) in / (T, F, 8, 128)
@@ -37,7 +39,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +52,9 @@ from bhx.integrate import (
 
 LANES = 8 * 128  # rays per grid step
 
+# Input ray fields.
+IN_FIELDS = 9  # px, py, pz, dx, dy, dz, h, active, amount
+
 # Scalar parameter vector layout (SMEM).
 _P = dict(
     bh_x=0, bh_y=1, bh_z=2, mass=3, horizon_r=4, rel_r=5,
@@ -63,10 +67,19 @@ NUM_PARAMS = len(_P)
 # Output field layout.
 _OUT_FIXED = dict(
     px=0, py=1, pz=2, dx=3, dy=4, dz=5,
-    steps=6, closest=7, horizon=8, exited=9, h=10,
+    steps=6, closest=7, horizon=8, exited=9, h=10, amount=11,
 )
 OUT_FIXED = len(_OUT_FIXED)
 CROSS_FIELDS = 7  # hx, hy, hz, dx, dy, dz, valid
+
+# Substeps fully unrolled per inner-loop iteration.
+UNROLL = 4
+# Steps between all-lanes-done votes: the while cond's vector reduce +
+# scalar branch costs ~µs of pipeline stall, so vote rarely.  The final
+# round may overrun a budget-capped ray by < VOTE_EVERY steps (such rays
+# are photon-sphere orbiters that output their current direction; the
+# overrun only changes that direction marginally).
+VOTE_EVERY = 32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -77,6 +90,7 @@ class MarchKernelConfig:
     # Disk-texture opacity factor lower bound (1.0 when texture disabled).
     tex_opacity_min: float = 0.7
     show_disk: bool = True
+    vote_every: int = VOTE_EVERY
     interpret: bool = False
 
 
@@ -85,34 +99,44 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
 
     bx, by, bz = p("bh_x"), p("bh_y"), p("bh_z")
     mass = p("mass")
-    horizon_r = p("horizon_r")
-    rel_r = p("rel_r")
+    horizon_r2 = p("horizon_r") * p("horizon_r")
+    rel_r2 = p("rel_r") * p("rel_r")
     nx, ny, nz = p("disk_nx"), p("disk_ny"), p("disk_nz")
     d_in, d_out = p("disk_inner"), p("disk_outer")
+    d_in2 = d_in * d_in
+    d_out2 = d_out * d_out
+    inv_d_out = 1.0 / d_out
     cutoff = p("cutoff")
 
-    px = rays_ref[0, 0]
-    py = rays_ref[0, 1]
-    pz = rays_ref[0, 2]
-    dx = rays_ref[0, 3]
-    dy = rays_ref[0, 4]
-    dz = rays_ref[0, 5]
+    px0 = rays_ref[0, 0]
+    py0 = rays_ref[0, 1]
+    pz0 = rays_ref[0, 2]
+    dx0 = rays_ref[0, 3]
+    dy0 = rays_ref[0, 4]
+    dz0 = rays_ref[0, 5]
     h0 = rays_ref[0, 6]
-    act0 = rays_ref[0, 7] > 0.5
+    act0 = rays_ref[0, 7]
+    amount0 = rays_ref[0, 8]
 
-    zeros = jnp.zeros_like(px)
+    zeros = jnp.zeros_like(px0)
     K = kcfg.max_crossings
 
+    # Crossing slots live in the output ref, not the loop carry.
+    for k in range(K):
+        base = OUT_FIXED + k * CROSS_FIELDS
+        for f in range(CROSS_FIELDS):
+            out_ref[0, base + f] = zeros
+
     init = dict(
-        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        px=px0, py=py0, pz=pz0, dx=dx0, dy=dy0, dz=dz0,
         h=h0,
-        act=act0,
+        act=act0,  # float 0/1: Mosaic cannot carry i1 vectors
         steps=zeros,
-        closest=jnp.sqrt((px - bx) ** 2 + (py - by) ** 2 + (pz - bz) ** 2),
-        amount_ub=jnp.ones_like(px),
+        closest2=(px0 - bx) ** 2 + (py0 - by) ** 2 + (pz0 - bz) ** 2,
+        # Continue the running transmission bound across march rounds.
+        amount_ub=amount0,
         horizon=zeros,
         exited=zeros,
-        cross=[tuple(zeros for _ in range(CROSS_FIELDS)) for _ in range(K)],
         count=zeros,
         it=jnp.int32(0),
     )
@@ -120,7 +144,9 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     def accel(qx, qy, qz, h2):
         rx, ry, rz = qx - bx, qy - by, qz - bz
         r2 = rx * rx + ry * ry + rz * rz
-        inv_r5 = (r2 + 1e-12) ** -2.5
+        ir = jax.lax.rsqrt(r2 + 1e-12)
+        ir2 = ir * ir
+        inv_r5 = ir2 * ir2 * ir  # (r^2)^-2.5 without pow
         s = (-3.0) * mass * h2 * inv_r5
         return s * rx, s * ry, s * rz
 
@@ -129,12 +155,14 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
         return x * inv, y * inv, z * inv
 
     def cond(s):
-        return jnp.logical_and(s["it"] < kcfg.max_iterations, jnp.any(s["act"]))
+        return jnp.logical_and(
+            s["it"] < kcfg.max_iterations, jnp.any(s["act"] > 0.5)
+        )
 
-    def body(s):
+    def substep(s):
         px, py, pz = s["px"], s["py"], s["pz"]
         dx, dy, dz = s["dx"], s["dy"], s["dz"]
-        act = s["act"]
+        act = s["act"] > 0.5
 
         rx, ry, rz = px - bx, py - by, pz - bz
         cxv = ry * dz - rz * dy
@@ -181,8 +209,12 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
             err = jnp.maximum(jnp.abs(ex), jnp.maximum(jnp.abs(ey), jnp.abs(ez)))
             ratio = err / p("rtol")
             accept = ratio <= 1.0
-            grow = jnp.clip(p("safety") * (ratio + 1e-12) ** -0.2, 1.0, p("max_f"))
-            shrink = jnp.clip(p("safety") * (ratio + 1e-12) ** -0.25, p("min_f"), 1.0)
+            # Controller without pow: factor from two rsqrts.
+            # ratio^-0.25 = rsqrt(rsqrt(ratio)); ratio^-0.2 ~ use -0.25 for
+            # growth too (slightly more conservative growth, same clamps).
+            r4 = jax.lax.rsqrt(jax.lax.rsqrt(ratio + 1e-12))
+            grow = jnp.clip(p("safety") * r4, 1.0, p("max_f"))
+            shrink = jnp.clip(p("safety") * r4, p("min_f"), 1.0)
             h_next = jnp.clip(h_used * jnp.where(accept, grow, shrink),
                               p("h_min"), p("h_max"))
             ndx, ndy, ndz = norm3(dx + h_used * ix, dy + h_used * iy, dz + h_used * iz)
@@ -192,19 +224,17 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
             npz = pz + dz * h_used
             applied = jnp.logical_and(act, accept)
 
-        # --- segment hit tests: origin (px,py,pz), direction (new dir),
-        # t in (0, h_used] (reference ray.wgsl:539-541) ---
-        # Horizon sphere.
+        # --- segment hit tests: origin (px,py,pz), direction (new dir,
+        # unit length), t in (0, h_used] (reference ray.wgsl:539-541) ---
         ox, oy, oz = px - bx, py - by, pz - bz
-        a_q = ndx * ndx + ndy * ndy + ndz * ndz
-        b_q = 2.0 * (ox * ndx + oy * ndy + oz * ndz)
-        c_q = ox * ox + oy * oy + oz * oz - horizon_r * horizon_r
-        disc = b_q * b_q - 4.0 * a_q * c_q
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t1 = (-b_q - sq) / (2.0 * a_q)
-        t2 = (-b_q + sq) / (2.0 * a_q)
-        v1 = jnp.logical_and(disc > 0.0, jnp.logical_and(t1 > 1e-8, t1 < h_used))
-        v2 = jnp.logical_and(disc > 0.0, jnp.logical_and(t2 > 1e-8, t2 < h_used))
+        half_b = ox * ndx + oy * ndy + oz * ndz
+        c_q = ox * ox + oy * oy + oz * oz - horizon_r2
+        disc4 = half_b * half_b - c_q  # disc/4 (a == 1 for unit dir)
+        sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+        t1 = -half_b - sq
+        t2 = -half_b + sq
+        v1 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t1 > 1e-8, t1 < h_used))
+        v2 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t2 > 1e-8, t2 < h_used))
         t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
         hit_h = jnp.logical_or(v1, v2)
 
@@ -215,25 +245,15 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
             hx = px + ndx * t_d
             hy = py + ndy * t_d
             hz = pz + ndz * t_d
-            rr = jnp.sqrt((hx - bx) ** 2 + (hy - by) ** 2 + (hz - bz) ** 2)
+            rr2 = (hx - bx) ** 2 + (hy - by) ** 2 + (hz - bz) ** 2
             hit_d = jnp.logical_and(
                 jnp.logical_and(t_d > 1e-8, t_d < h_used),
-                jnp.logical_and(rr >= d_in, rr <= d_out),
+                jnp.logical_and(rr2 >= d_in2, rr2 <= d_out2),
             )
-            # Opacity upper/lower bounds for early exit: od from the
-            # texture-independent density (ray.wgsl:618-626).
-            adist = jnp.sqrt(hx * hx + hy * hy + hz * hz)
-            dens = 1.0 - adist / d_out
-            tt = jnp.clip((rr - d_in) / 1.0, 0.0, 1.0)
-            dens = dens * (tt * tt * (3.0 - 2.0 * tt))
-            dens = jnp.maximum(dens * jax.lax.rsqrt(rr + 1e-20), 0.0)
-            od = (30.0 * dens) ** 1.3
-            op_min = jnp.clip(od * 0.2, 0.0, 1.0) * kcfg.tex_opacity_min
         else:
             hit_d = jnp.zeros_like(hit_h)
             t_d = jnp.full_like(t_h, 1e9)
             hx = hy = hz = zeros
-            op_min = zeros
 
         horizon_first = jnp.logical_and(hit_h, t_h <= t_d)
         crossing = jnp.logical_and(
@@ -241,54 +261,91 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
         )
         hit_horizon = jnp.logical_and(applied, horizon_first)
 
-        # Record the crossing into slot `count` (static unroll over K).
-        cross = list(s["cross"])
         count = s["count"]
-        for k in range(K):
-            put = jnp.logical_and(crossing, count == float(k))
-            cx_, cy_, cz_, cdx, cdy, cdz, cv = cross[k]
-            cross[k] = (
-                jnp.where(put, hx, cx_),
-                jnp.where(put, hy, cy_),
-                jnp.where(put, hz, cz_),
-                jnp.where(put, ndx, cdx),
-                jnp.where(put, ndy, cdy),
-                jnp.where(put, ndz, cdz),
-                jnp.where(put, 1.0, cv),
-            )
-        count = count + jnp.where(crossing, 1.0, 0.0)
-        amount_ub = s["amount_ub"] * jnp.where(crossing, 1.0 - op_min, 1.0)
+        amount_ub = s["amount_ub"]
+
+        if kcfg.show_disk:
+            # Opacity lower bound for early exit, pow-free:
+            # x^1.3 >= x for x >= 1 and >= x^2 for x in [0,1]
+            # (ray.wgsl:618-626 density -> od -> opacity).  Uses the
+            # hole-relative radius for the first density factor (exact for
+            # the origin-centered default; this is only an exit heuristic),
+            # and derives rsqrt(rr) = sqrt(rsqrt(rr2)) — one rsqrt + one
+            # sqrt for the whole block.
+            irr = jax.lax.rsqrt(rr2 + 1e-20)
+            rr = rr2 * irr
+            inv_sqrt_rr = jnp.sqrt(irr)
+            dens = 1.0 - rr * inv_d_out
+            tt = jnp.clip(rr - d_in, 0.0, 1.0)
+            dens = dens * (tt * tt * (3.0 - 2.0 * tt))
+            dens = jnp.maximum(dens * inv_sqrt_rr, 0.0)
+            x = 30.0 * dens
+            od_lb = jnp.where(x < 1.0, x * x, x)
+            op_lb = jnp.clip(od_lb * 0.2, 0.0, 1.0) * kcfg.tex_opacity_min
+
+            @pl.when(jnp.any(crossing))
+            def _record():
+                for k in range(K):
+                    base = OUT_FIXED + k * CROSS_FIELDS
+                    put = jnp.logical_and(crossing, count == float(k))
+                    out_ref[0, base + 0] = jnp.where(put, hx, out_ref[0, base + 0])
+                    out_ref[0, base + 1] = jnp.where(put, hy, out_ref[0, base + 1])
+                    out_ref[0, base + 2] = jnp.where(put, hz, out_ref[0, base + 2])
+                    out_ref[0, base + 3] = jnp.where(put, ndx, out_ref[0, base + 3])
+                    out_ref[0, base + 4] = jnp.where(put, ndy, out_ref[0, base + 4])
+                    out_ref[0, base + 5] = jnp.where(put, ndz, out_ref[0, base + 5])
+                    out_ref[0, base + 6] = jnp.where(put, 1.0, out_ref[0, base + 6])
+
+            count = count + jnp.where(crossing, 1.0, 0.0)
+            amount_ub = amount_ub * jnp.where(crossing, 1.0 - op_lb, 1.0)
 
         # --- advance state ---
-        out_px = jnp.where(applied, npx, px)
-        out_py = jnp.where(applied, npy, py)
-        out_pz = jnp.where(applied, npz, pz)
-        out_dx = jnp.where(applied, ndx, dx)
-        out_dy = jnp.where(applied, ndy, dy)
-        out_dz = jnp.where(applied, ndz, dz)
+        applied_f = jnp.where(applied, 1.0, 0.0)
+        napplied_f = 1.0 - applied_f
+        out_px = applied_f * npx + napplied_f * px
+        out_py = applied_f * npy + napplied_f * py
+        out_pz = applied_f * npz + napplied_f * pz
+        out_dx = applied_f * ndx + napplied_f * dx
+        out_dy = applied_f * ndy + napplied_f * dy
+        out_dz = applied_f * ndz + napplied_f * dz
         h_out = jnp.where(act, h_next, s["h"])
 
-        dist_sq = (out_px - bx) ** 2 + (out_py - by) ** 2 + (out_pz - bz) ** 2
-        dist_new = jnp.sqrt(dist_sq)
-        closest = jnp.where(applied, jnp.minimum(s["closest"], dist_new), s["closest"])
+        dist2 = (out_px - bx) ** 2 + (out_py - by) ** 2 + (out_pz - bz) ** 2
+        closest2 = jnp.where(applied, jnp.minimum(s["closest2"], dist2), s["closest2"])
 
-        exited_now = jnp.logical_and(applied, dist_new > rel_r)
+        exited_now = jnp.logical_and(applied, dist2 > rel_r2)
         absorbed = jnp.logical_or(
             hit_horizon, jnp.logical_and(act, amount_ub < cutoff)
         )
         horizon = jnp.where(hit_horizon, 1.0, s["horizon"])
         exited = jnp.where(exited_now, 1.0, s["exited"])
-        act_out = jnp.logical_and(
-            act, jnp.logical_not(jnp.logical_or(exited_now, absorbed))
+        act_out = jnp.where(
+            jnp.logical_and(
+                act, jnp.logical_not(jnp.logical_or(exited_now, absorbed))
+            ),
+            1.0,
+            0.0,
         )
         steps = s["steps"] + jnp.where(act, 1.0, 0.0)
 
         return dict(
             px=out_px, py=out_py, pz=out_pz, dx=out_dx, dy=out_dy, dz=out_dz,
-            h=h_out, act=act_out, steps=steps, closest=closest,
+            h=h_out, act=act_out, steps=steps, closest2=closest2,
             amount_ub=amount_ub, horizon=horizon, exited=exited,
-            cross=cross, count=count, it=s["it"] + 1,
+            count=count, it=s["it"] + 1,
         )
+
+    inner_iters = max(1, kcfg.vote_every // UNROLL)
+
+    def body(s):
+        def inner(_, ss):
+            for _ in range(UNROLL):
+                ss = substep(ss)
+            return ss
+
+        if inner_iters == 1:
+            return inner(0, s)
+        return jax.lax.fori_loop(0, inner_iters, inner, s)
 
     final = jax.lax.while_loop(cond, body, init)
 
@@ -299,22 +356,19 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     out_ref[0, _OUT_FIXED["dy"]] = final["dy"]
     out_ref[0, _OUT_FIXED["dz"]] = final["dz"]
     out_ref[0, _OUT_FIXED["steps"]] = final["steps"]
-    out_ref[0, _OUT_FIXED["closest"]] = final["closest"]
+    out_ref[0, _OUT_FIXED["closest"]] = jnp.sqrt(final["closest2"])
     out_ref[0, _OUT_FIXED["horizon"]] = final["horizon"]
     out_ref[0, _OUT_FIXED["exited"]] = final["exited"]
     out_ref[0, _OUT_FIXED["h"]] = final["h"]
-    for k in range(K):
-        base = OUT_FIXED + k * CROSS_FIELDS
-        for f in range(CROSS_FIELDS):
-            out_ref[0, base + f] = final["cross"][k][f]
+    out_ref[0, _OUT_FIXED["amount"]] = final["amount_ub"]
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg",))
 def march_pallas(rays, params, kcfg: MarchKernelConfig):
     """Run the march kernel.
 
-    rays: (N, 8) float32 — px, py, pz, dx, dy, dz, h0, active — N a
-    multiple of 1024.  params: (NUM_PARAMS,) float32 per _P.
+    rays: (N, IN_FIELDS) float32 — px, py, pz, dx, dy, dz, h0, active,
+    amount — N a multiple of 1024.  params: (NUM_PARAMS,) float32 per _P.
     Returns (N, OUT_FIXED + 7K) float32.
     """
     n = rays.shape[0]
@@ -322,7 +376,7 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
     tiles = n // LANES
     fout = OUT_FIXED + CROSS_FIELDS * kcfg.max_crossings
 
-    rays_t = rays.reshape(tiles, 8, 128, 8).transpose(0, 3, 1, 2)
+    rays_t = rays.reshape(tiles, 8, 128, IN_FIELDS).transpose(0, 3, 1, 2)
     params2 = params.reshape(1, NUM_PARAMS)
 
     out = pl.pallas_call(
@@ -331,7 +385,7 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, IN_FIELDS, 8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, fout, 8, 128), lambda i: (i, 0, 0, 0),

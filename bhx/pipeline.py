@@ -28,8 +28,11 @@ from bhx.scene import Scene
 from bhx.shading import sample_sky
 from bhx.tracer import camera_rays, trace_image, trace_rays
 
-# Dense retrace chunk: a multiple of the 8x128 VPU tile.
-_CHUNK = 4096
+# Dense retrace chunk: a multiple of the 8x128 VPU tile.  Large chunks
+# amortize per-dispatch overheads and give the Pallas march kernel enough
+# tiles to fill; the waste in the final partial chunk is bounded by one
+# chunk of rays.
+_CHUNK = 32768
 
 
 def sky_pass(img4, sky_tex):
@@ -182,3 +185,74 @@ def render_image(scene: Scene, cfg: RenderConfig = RenderConfig()):
 
     rgb = np.asarray(render_jit(scene, cfg))
     return (np.clip(rgb, 0.0, 1.0) * 255.0 + 0.5).astype("uint8")
+
+
+def render_tiled(
+    scene: Scene,
+    cfg: RenderConfig,
+    band_rows: int = 256,
+    checkpoint_path: str | None = None,
+    verbose: bool = False,
+):
+    """Giant-frame render in row bands with resumable checkpoints.
+
+    For frames too large (or too long-running) for one device invocation:
+    the dense trace runs band by band; after each band the accumulated
+    alpha-encoded image is written to ``checkpoint_path`` (.npz) so an
+    interrupted render resumes where it stopped (SURVEY.md §5
+    "Checkpoint / resume" — the reference has none).  The post chain runs
+    once at the end on the assembled frame.
+    """
+    import os
+
+    import numpy as np
+
+    from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
+    from bhx.tracer import camera_rays, trace_rays
+
+    h, w = cfg.height, cfg.width
+    img4 = np.zeros((h, w, 4), np.float32)
+    start_band = 0
+    n_bands = -(-h // band_rows)
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        z = np.load(checkpoint_path)
+        if tuple(z["shape"]) == (h, w) and int(z["band_rows"]) == band_rows:
+            img4 = z["img4"]
+            start_band = int(z["next_band"])
+
+    o, d = camera_rays(scene.camera, w, h)
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def trace_band(o, d, scene, cfg):
+        return trace_rays(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
+
+    for band in range(start_band, n_bands):
+        y0 = band * band_rows
+        y1 = min(y0 + band_rows, h)
+        rows = y1 - y0
+        # Anchor the last band so every trace has one compiled shape.
+        s0 = min(y0, max(h - band_rows, 0))
+        ob = o[s0:s0 + band_rows]
+        db = d[s0:s0 + band_rows]
+        out = np.asarray(trace_band(ob, db, scene, cfg)).reshape(band_rows, w, 4)
+        img4[y0:y1] = out[band_rows - rows:]
+        if checkpoint_path:
+            np.savez_compressed(
+                checkpoint_path + ".tmp.npz", img4=img4,
+                next_band=band + 1, shape=(h, w), band_rows=band_rows,
+            )
+            os.replace(checkpoint_path + ".tmp.npz", checkpoint_path)
+        if verbose:
+            print(f"band {band + 1}/{n_bands} done")
+
+    img4_j = jnp.asarray(img4)
+    rgb = sky_pass(img4_j, scene.sky_texture) if cfg.show_sky else jnp.where(
+        img4_j[..., 3:] == 0.0, 0.0, img4_j[..., :3]
+    )
+    if cfg.bloom.enabled:
+        rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
+    if cfg.tonemap:
+        rgb = tonemap_pass(rgb)
+    if cfg.fxaa.enabled:
+        rgb = fxaa_pass(rgb, cfg.fxaa)
+    return rgb

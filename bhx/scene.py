@@ -65,6 +65,28 @@ class Camera:
         fwd = _f32(target) - self.position
         return dataclasses.replace(self, forward=fwd / jnp.linalg.norm(fwd))
 
+    def right(self) -> jax.Array:
+        """normalize(forward x (0,-1,0)) — reference camera.rs:54-57."""
+        r = jnp.cross(self.forward, _f32([0.0, -1.0, 0.0]))
+        return r / jnp.linalg.norm(r)
+
+    def rotated(self, yaw, pitch) -> "Camera":
+        """Yaw about world +y then pitch about the current right axis
+        (reference rotate_camera, camera.rs:26-35)."""
+
+        def axis_rot(v, axis, angle):
+            axis = axis / jnp.linalg.norm(axis)
+            c, s = jnp.cos(angle), jnp.sin(angle)
+            return (
+                v * c
+                + jnp.cross(axis, v) * s
+                + axis * jnp.dot(axis, v) * (1.0 - c)
+            )
+
+        fwd = axis_rot(self.forward, _f32([0.0, 1.0, 0.0]), _f32(yaw))
+        fwd = axis_rot(fwd, self.right(), _f32(pitch))
+        return dataclasses.replace(self, forward=fwd)
+
 
 @_pytree_dataclass
 class BlackHole:
@@ -180,6 +202,11 @@ class Scene:
     temp_lut: jax.Array  # (Lh, Lw, 3) float32 (x=shift, y=temperature)
     time: jax.Array  # () seconds, drives disk texture rotation
     meshes: Tuple[Mesh, ...] = ()
+    # Material palette, reference parity: MAX_MATERIALS=8 RGBA colors
+    # (src/renderer/material.rs).  The reference binds but never reads them
+    # (ray.wgsl:8 — `materials` unused in every shader function); kept so a
+    # scene round-trips completely and future shading models can use them.
+    materials: Optional[jax.Array] = None
 
     @staticmethod
     def default(
@@ -211,6 +238,7 @@ class Scene:
             temp_lut=_f32(temp_lut),
             time=_f32(0.0),
             meshes=tuple(meshes),
+            materials=jnp.ones((8, 4), jnp.float32),
         )
 
 

@@ -100,6 +100,9 @@ def _init_state(origins, directions):
         entered=jnp.zeros((n,), bool),
         h=jnp.zeros((n,), f),
         closest=jnp.zeros((n,), f),
+        # Spatial conjugate momentum for exact-Kerr marching (bhx.kerr);
+        # unused (zeros) in pseudo-Newtonian mode.
+        mom=jnp.zeros((n, 3), f),
     )
 
 
@@ -158,8 +161,7 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         jnp.where(mesh_wins, jnp.int32(3), jnp.where(escapes, jnp.int32(2), state["status"])),
     )
 
-    state = dict(state)
-    state.update(
+    updates = dict(
         pos=new_pos,
         color=color,
         amount=amount,
@@ -171,12 +173,36 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
             enters, jnp.linalg.norm(new_pos - bh.position, axis=-1), state["closest"]
         ),
     )
+    if cfg.geodesics == "kerr":
+        from bhx import kerr
+
+        mom_new = kerr.null_momentum(
+            new_pos - bh.position, d, bh.mass, bh.spin
+        )
+        updates["mom"] = jnp.where(enters[:, None], mom_new, state["mom"])
+    state = dict(state)
+    state.update(updates)
     return state
 
 
 def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
-    """Pallas-kernel march: the kernel records crossing geometry; shading +
-    compositing happen here on dense arrays (see bhx.kernels.march_pallas)."""
+    """Pallas-kernel march with multi-round compaction and deferred shading.
+
+    The kernel marches a tile of 1024 rays until all its lanes finish —
+    which makes a tile as slow as its slowest ray (photon-sphere orbiters
+    run the full iteration budget while the mean ray takes ~250 steps).
+    Rounds fix that: march at most ``cfg.pallas_round_steps`` steps, *sort
+    rays by still-active* so long-runners compact into a few tiles, and
+    repeat; finished tiles exit their while loop after one vote, so total
+    cost tracks the sum of per-ray steps instead of the per-tile max
+    (SURVEY.md §7 hard part 1 "periodic compaction").
+
+    Crossing slots recorded by each round are merged into per-ray
+    accumulators (cheap selects) and shaded *once* after the last round —
+    texture/LUT gathers happen exactly one time per ray regardless of the
+    round count.  Compositing order is preserved because slots accumulate
+    in crossing order and shading depends only on crossing geometry.
+    """
     from bhx.kernels.march_pallas import (
         CROSS_FIELDS,
         LANES,
@@ -190,53 +216,124 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
     rot_mat, disk_normal = bh.disk_frame()
     n = state["pos"].shape[0]
     pad = (-n) % LANES
-    np_ = n + pad
+    npad = n + pad
+    K = MarchKernelConfig.max_crossings
 
-    active = (state["status"] == 1).astype(jnp.float32)
-    rays = jnp.concatenate(
-        [
-            state["pos"],
-            state["dir"],
-            state["h"][:, None],
-            active[:, None],
-        ],
-        axis=-1,
-    )
-    if pad:
-        rays = jnp.concatenate([rays, jnp.zeros((pad, 8), jnp.float32)], axis=0)
+    round_steps = max(1, int(cfg.pallas_round_steps))
+    n_rounds = -(-cfg.max_iterations // round_steps)
+    # Exact total budget: full rounds + remainder (kernel UNROLL may overrun
+    # the final round by <= UNROLL-1 steps for budget-capped rays only).
+    budgets = [round_steps] * (n_rounds - 1)
+    budgets.append(cfg.max_iterations - round_steps * (n_rounds - 1))
 
-    kcfg = MarchKernelConfig(
-        integrator="euler" if cfg.integrator == Integrator.EULER else "rk45",
-        max_iterations=cfg.max_iterations,
-        tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
-        show_disk=cfg.show_disk,
-        interpret=cfg.march_mode == "pallas_interpret",
-    )
+    def make_kcfg(budget):
+        return MarchKernelConfig(
+            integrator="euler" if cfg.integrator == Integrator.EULER else "rk45",
+            max_iterations=budget,
+            tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
+            show_disk=cfg.show_disk,
+            vote_every=cfg.pallas_vote_every,
+            interpret=cfg.march_mode == "pallas_interpret",
+        )
+
     params = pack_params(bh, disk_normal, cfg)
-    out = march_pallas(rays, params, kcfg)[:n]
+
+    def padded(x, fill=0.0):
+        if pad == 0:
+            return x
+        shape = (pad,) + x.shape[1:]
+        return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
 
     was = state["status"] == 1
-    pos = jnp.where(was[:, None], out[:, 0:3], state["pos"])
-    dir_raw = jnp.where(was[:, None], out[:, 3:6], state["dir"])
-    steps = state["march_steps"] + jnp.where(was, out[:, 6], 0.0).astype(jnp.int32)
-    closest = jnp.where(was, out[:, 7], state["closest"])
-    horizon = was & (out[:, 8] > 0.5)
-    exited = was & (out[:, 9] > 0.5)
-    h_new = jnp.where(was, out[:, 10], state["h"])
+    work = dict(
+        pos=padded(state["pos"]),
+        dir=padded(state["dir"]),
+        h=padded(state["h"]),
+        act=padded(was.astype(jnp.float32)),
+        amount_ub=padded(jnp.ones((n,), jnp.float32)),
+        closest=padded(jnp.where(was, state["closest"], jnp.float32(1e9))),
+        steps=padded(jnp.zeros((n,), jnp.float32)),
+        horizon=padded(jnp.zeros((n,), jnp.float32)),
+        exited=padded(jnp.zeros((n,), jnp.float32)),
+        count=padded(jnp.zeros((n,), jnp.float32)),
+        slots=jnp.zeros((npad, K, CROSS_FIELDS), jnp.float32),
+        cam=padded(cam_dist),
+        idx=jnp.arange(npad, dtype=jnp.int32),
+    )
 
-    # --- shade + composite recorded crossings, in slot order ---
+    for r in range(n_rounds):
+        if r > 0:
+            # Compact still-marching rays to the front so they share tiles.
+            order = jnp.argsort(1.0 - work["act"], stable=True)
+            work = {k: v[order] for k, v in work.items()}
+
+        rays = jnp.concatenate(
+            [
+                work["pos"], work["dir"], work["h"][:, None],
+                work["act"][:, None], work["amount_ub"][:, None],
+            ],
+            axis=-1,
+        )
+        out = march_pallas(rays, params, make_kcfg(budgets[r]))
+
+        active = work["act"] > 0.5
+        pos = jnp.where(active[:, None], out[:, 0:3], work["pos"])
+        direction = jnp.where(active[:, None], out[:, 3:6], work["dir"])
+        h_new = jnp.where(active, out[:, 10], work["h"])
+        amount_ub = jnp.where(active, out[:, 11], work["amount_ub"])
+        steps = work["steps"] + jnp.where(active, out[:, 6], 0.0)
+        closest = jnp.where(
+            active, jnp.minimum(work["closest"], out[:, 7]), work["closest"]
+        )
+        horizon = jnp.maximum(work["horizon"], jnp.where(active, out[:, 8], 0.0))
+        exited = jnp.maximum(work["exited"], jnp.where(active, out[:, 9], 0.0))
+
+        # Merge this round's crossing slots after the ray's existing ones:
+        # merged[i] <- round[i - count_prev]  (O(K^2) selects, no gathers).
+        slots = work["slots"]
+        count = work["count"]
+        if cfg.show_disk:
+            round_slots = out[:, OUT_FIXED:].reshape(npad, K, CROSS_FIELDS)
+            round_valid = (round_slots[:, :, 6] > 0.5) & active[:, None]
+            round_slots = round_slots * round_valid[:, :, None]
+            merged = slots
+            for i in range(K):
+                take = jnp.zeros((npad, CROSS_FIELDS), jnp.float32)
+                for j in range(0, i + 1):
+                    sel = (count == float(i - j))[:, None]
+                    take = jnp.where(sel, round_slots[:, j], take)
+                keep = (count > float(i))[:, None] | (slots[:, i, 6] > 0.5)[:, None]
+                merged = merged.at[:, i].set(jnp.where(keep, merged[:, i], take))
+            slots = merged
+            count = jnp.clip(count + round_valid.sum(-1), 0.0, float(K))
+
+        still = (
+            active
+            & (exited < 0.5)
+            & (horizon < 0.5)
+            & (amount_ub >= cfg.opacity_cutoff)
+        )
+        work.update(
+            pos=pos, dir=direction, h=h_new, act=still.astype(jnp.float32),
+            amount_ub=amount_ub, closest=closest, steps=steps,
+            horizon=horizon, exited=exited, count=count, slots=slots,
+        )
+
+    # Undo the permutations: scatter by original index.
+    inv = jnp.argsort(work["idx"])
+    work = {k: v[inv][:n] for k, v in work.items()}
+    was_f = was
+
+    # --- shade + composite all recorded crossings once, in slot order ---
     color = state["color"]
     amount = state["amount"]
     hit = state["hit"]
-    K = kcfg.max_crossings
-    for k in range(K):
-        base = OUT_FIXED + k * CROSS_FIELDS
-        point = out[:, base : base + 3]
-        cdir = out[:, base + 3 : base + 6]
-        valid = was & (out[:, base + 6] > 0.5)
-        if cfg.show_disk:
+    if cfg.show_disk:
+        for k in range(K):
+            slot = work["slots"][:, k]
+            valid = was_f & (slot[:, 6] > 0.5)
             rgb, op = disk_shade(
-                point, cdir, cam_dist, bh, rot_mat,
+                slot[:, 0:3], slot[:, 3:6], cam_dist, bh, rot_mat,
                 scene.disk_texture, scene.temp_lut, scene.time,
                 show_texture=cfg.show_disk_texture,
                 show_redshift=cfg.show_redshift,
@@ -245,29 +342,38 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
             color = jnp.where(valid[:, None], color + add, color)
             amount = jnp.where(valid, amount * (1.0 - op), amount)
             hit = hit | valid
-    # Horizon: opaque black, terminal (no color contribution).
-    amount = jnp.where(horizon, 0.0, amount)
-    hit = hit | horizon
+    horizon_b = was_f & (work["horizon"] > 0.5)
+    amount = jnp.where(horizon_b, 0.0, amount)
+    hit = hit | horizon_b
 
     # --- feather the exit direction (reference ray.wgsl:543-553) ---
+    exited_b = was_f & (work["exited"] > 0.5)
     fw = bh.relativity_radius * bh.feather
     fs = bh.relativity_radius - fw
-    lin = jnp.clip((closest - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
+    lin = jnp.clip((work["closest"] - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
     mix_amount = (lin * lin)[:, None]
-    feathered = dir_raw + (state["orig_dir"] - dir_raw) * mix_amount
-    direction = jnp.where(exited[:, None], feathered, dir_raw)
+    feathered = work["dir"] + (state["orig_dir"] - work["dir"]) * mix_amount
+    direction = jnp.where(exited_b[:, None], feathered, work["dir"])
 
-    absorbed = was & ((amount < cfg.opacity_cutoff) | horizon)
-    over_budget = was & ~exited & ~absorbed  # kernel ran out of iterations
+    absorbed = was_f & (horizon_b | (amount < cfg.opacity_cutoff))
+    over_budget = was_f & (work["act"] > 0.5) & ~absorbed
     status = state["status"]
-    status = jnp.where(exited & ~absorbed, jnp.int32(0), status)
+    status = jnp.where(exited_b & ~absorbed, jnp.int32(0), status)
     status = jnp.where(absorbed, jnp.int32(3), status)
     status = jnp.where(over_budget, jnp.int32(2), status)
 
     new_state = dict(state)
     new_state.update(
-        pos=pos, dir=direction, h=h_new, color=color, amount=amount, hit=hit,
-        closest=closest, march_steps=steps, status=status,
+        pos=jnp.where(was_f[:, None], work["pos"], state["pos"]),
+        dir=jnp.where(was_f[:, None], direction, state["dir"]),
+        h=jnp.where(was_f, work["h"], state["h"]),
+        color=color,
+        amount=amount,
+        hit=hit,
+        closest=jnp.where(was_f, work["closest"], state["closest"]),
+        march_steps=state["march_steps"]
+        + jnp.where(was_f, work["steps"], 0.0).astype(jnp.int32),
+        status=status,
     )
     return new_state
 
@@ -275,7 +381,9 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
 def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
     """Masked geodesic march for rays with status 1 (reference inside
     branch, ray.wgsl:522-553)."""
-    if cfg.march_mode in ("pallas", "pallas_interpret"):
+    if cfg.march_mode in ("pallas", "pallas_interpret") and cfg.geodesics != "kerr":
+        # The Pallas kernel implements the pseudo-Newtonian force; exact
+        # Kerr (autodiff Hamiltonian) runs the jnp path below.
         return _march_phase_pallas(state, scene, cfg, cam_dist)
     bh = scene.black_hole
     rot_mat, disk_normal = bh.disk_frame()
@@ -284,7 +392,28 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         active = s["status"] == 1
         pos, d, h = s["pos"], s["dir"], s["h"]
 
-        if cfg.integrator == Integrator.EULER:
+        mom_out = s["mom"]
+        if cfg.geodesics == "kerr":
+            # Exact Kerr geodesics: Hamiltonian RK4 on (x, p) with a
+            # field-strength-scaled step (bhx.kerr).  The "direction" used
+            # for hit tests / sky is the chord of the step segment.
+            from bhx import kerr
+
+            rel = pos - bh.position
+            hk = kerr.adaptive_h(rel, bh.mass, bh.spin, cfg.step_size)
+            new_rel, new_mom = kerr.step_rk4(rel, s["mom"], hk, bh.mass, bh.spin)
+            seg = new_rel - rel
+            seg_len = jnp.linalg.norm(seg, axis=-1)
+            new_dir = seg / jnp.maximum(seg_len, 1e-12)[:, None]
+            new_pos = new_rel + bh.position
+            h_used = seg_len
+            h_next = h
+            applied = active
+            mom_out = jnp.where(applied[:, None], new_mom, s["mom"])
+            # Capture: inside the (spin-dependent) outer horizon.
+            r_bl_new = kerr.bl_radius(new_rel, bh.mass, bh.spin)
+            kerr_captured = applied & (r_bl_new <= kerr.horizon_radius(bh.mass, bh.spin))
+        elif cfg.integrator == Integrator.EULER:
             new_pos, new_dir = euler_step(pos, d, cfg.step_size, bh.position, bh.mass)
             h_used = jnp.full_like(h, cfg.step_size)
             h_next = h_used
@@ -308,8 +437,14 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         # Segment hit tests from the previous position along the *new*
         # direction, bounded by the step length (reference ray.wgsl:539-541).
         seg_o, seg_d = pos, dir_out
-        t_h, hit_h = hit_sphere(seg_o, seg_d, bh.position, bh.horizon_radius,
-                                t_min=T_MIN, t_max=h_used)
+        if cfg.geodesics == "kerr":
+            # Horizon capture was detected on the Boyer-Lindquist radius of
+            # the stepped position; treat it as a terminal hit at t = 0.
+            hit_h = kerr_captured
+            t_h = jnp.where(hit_h, 0.0, MISS_T)
+        else:
+            t_h, hit_h = hit_sphere(seg_o, seg_d, bh.position, bh.horizon_radius,
+                                    t_min=T_MIN, t_max=h_used)
         if cfg.show_disk:
             t_dk, hit_dk, point_dk, _ = hit_annulus(
                 seg_o, seg_d, bh.position, disk_normal,
@@ -367,6 +502,7 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         out.update(
             pos=pos_out, dir=dir_out, h=h_out, color=color, amount=amount,
             hit=hit_acc, closest=closest, march_steps=steps, status=status,
+            mom=mom_out,
         )
         return out
 

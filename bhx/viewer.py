@@ -1,0 +1,218 @@
+"""Interactive viewer: browser-based equivalent of the reference's app shell.
+
+The reference is a winit event loop + egui settings windows + WASD/mouse
+camera controller (src/app.rs, src/ui/*, src/input_manager.rs,
+src/scene/mod.rs:38-81).  A TPU renderer lives in a datacenter, so the
+interactive surface is a small HTTP server: the browser sends camera/setting
+state, the server renders a frame (jitted; re-rendering reuses the compiled
+graph as long as static settings don't change) and returns a PNG.
+
+Controls (mirroring the reference):
+  W/A/S/D  move forward/left/back/right     Q/E  move down/up
+  drag     yaw/pitch the camera             wheel: fov
+  panel    every BlackHole/Renderer setting the egui UI exposes
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io as _io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!DOCTYPE html>
+<html><head><title>bhx viewer</title><style>
+body { margin:0; background:#111; color:#ccc; font:13px monospace; display:flex }
+#img { flex:1; image-rendering:auto; max-height:100vh; object-fit:contain }
+#panel { width:260px; padding:10px; background:#1a1a1a; overflow-y:auto }
+label { display:block; margin-top:8px }
+input[type=range] { width:100% }
+</style></head><body>
+<img id="img" tabindex="0">
+<div id="panel">
+  <b>bhx viewer</b>
+  <div id="status"></div>
+  <label>mass <span id="mass_v"></span>
+    <input type="range" id="mass" min="0.05" max="2.0" step="0.05" value="0.5"></label>
+  <label>spin <span id="spin_v"></span>
+    <input type="range" id="spin" min="0" max="0.99" step="0.01" value="0"></label>
+  <label>disk inner <input type="range" id="disk_inner" min="1" max="8" step="0.25" value="2"></label>
+  <label>disk outer <input type="range" id="disk_outer" min="4" max="18" step="0.5" value="10"></label>
+  <label>feather <input type="range" id="feather" min="0" max="1" step="0.05" value="0.3"></label>
+  <label>time <input type="range" id="time" min="0" max="20" step="0.1" value="0"></label>
+  <label><input type="checkbox" id="show_disk" checked> disk</label>
+  <label><input type="checkbox" id="show_redshift" checked> red/blue shift</label>
+  <label><input type="checkbox" id="show_sky" checked> sky</label>
+  <label><input type="checkbox" id="bloom" checked> bloom</label>
+  <label><input type="checkbox" id="fxaa" checked> fxaa</label>
+  <label><input type="checkbox" id="kerr"> exact Kerr geodesics</label>
+  <div style="margin-top:10px">WASD/QE move, drag look, wheel fov</div>
+</div>
+<script>
+let cam = {pos:[0,0,-19], yaw:0, pitch:0, fov:1.0};
+let busy=false, queued=false;
+const img = document.getElementById('img');
+function forward() {
+  const cy=Math.cos(cam.yaw), sy=Math.sin(cam.yaw);
+  const cp=Math.cos(cam.pitch), sp=Math.sin(cam.pitch);
+  return [sy*cp, -sp, cy*cp];
+}
+function state() {
+  const g = id => document.getElementById(id);
+  return {
+    pos:cam.pos, forward:forward(), fov:cam.fov,
+    mass:+g('mass').value, spin:+g('spin').value,
+    disk_inner:+g('disk_inner').value, disk_outer:+g('disk_outer').value,
+    feather:+g('feather').value, time:+g('time').value,
+    show_disk:g('show_disk').checked, show_redshift:g('show_redshift').checked,
+    show_sky:g('show_sky').checked, bloom:g('bloom').checked,
+    fxaa:g('fxaa').checked, kerr:g('kerr').checked,
+  };
+}
+async function render() {
+  if (busy) { queued=true; return; }
+  busy=true;
+  const t0=performance.now();
+  const r = await fetch('/render', {method:'POST', body:JSON.stringify(state())});
+  const blob = await r.blob();
+  img.src = URL.createObjectURL(blob);
+  document.getElementById('status').textContent =
+    `${((performance.now()-t0)/1000).toFixed(2)}s/frame`;
+  document.getElementById('mass_v').textContent = state().mass;
+  document.getElementById('spin_v').textContent = state().spin;
+  busy=false;
+  if (queued) { queued=false; render(); }
+}
+document.querySelectorAll('input').forEach(el=>el.addEventListener('input',render));
+let drag=null;
+img.addEventListener('mousedown', e=>{drag=[e.clientX,e.clientY]});
+window.addEventListener('mouseup', ()=>{drag=null});
+window.addEventListener('mousemove', e=>{
+  if(!drag) return;
+  cam.yaw += (e.clientX-drag[0])*0.005;
+  cam.pitch += (e.clientY-drag[1])*0.005;
+  cam.pitch = Math.max(-1.5, Math.min(1.5, cam.pitch));
+  drag=[e.clientX,e.clientY]; render();
+});
+img.addEventListener('wheel', e=>{
+  cam.fov = Math.max(0.2, Math.min(2.5, cam.fov + e.deltaY*0.001)); render();
+});
+window.addEventListener('keydown', e=>{
+  const f=forward(); const right=[f[2],0,-f[0]];
+  const step=1.0;
+  const add=(v,s)=>{cam.pos=[cam.pos[0]+v[0]*s, cam.pos[1]+v[1]*s, cam.pos[2]+v[2]*s]};
+  if(e.key=='w') add(f,step); if(e.key=='s') add(f,-step);
+  if(e.key=='a') add(right,-step); if(e.key=='d') add(right,step);
+  if(e.key=='q') add([0,1,0],step); if(e.key=='e') add([0,-1,0],step);
+  render();
+});
+render();
+</script></body></html>"""
+
+
+class ViewerServer:
+    """Renders frames on demand; owns one jitted pipeline per static config."""
+
+    def __init__(self, width=480, height=270, max_iterations=800,
+                 march_mode="fast"):
+        self.width = width
+        self.height = height
+        self.max_iterations = max_iterations
+        self.march_mode = march_mode
+        self._lock = threading.Lock()
+
+    def render_frame(self, req: dict) -> bytes:
+        import jax.numpy as jnp
+
+        from bhx.config import BloomConfig, FxaaConfig, RenderConfig
+        from bhx.io import to_uint8
+        from bhx.pipeline import render_jit
+        from bhx.scene import Scene
+
+        with self._lock:
+            scene = Scene.default()
+            bh = dataclasses.replace(
+                scene.black_hole,
+                mass=jnp.float32(req.get("mass", 0.5)),
+                spin=jnp.float32(req.get("spin", 0.0)),
+                disk_inner=jnp.float32(req.get("disk_inner", 2.0)),
+                disk_outer=jnp.float32(req.get("disk_outer", 10.0)),
+                feather=jnp.float32(req.get("feather", 0.3)),
+            )
+            cam = dataclasses.replace(
+                scene.camera,
+                position=jnp.asarray(req.get("pos", [0, 0, -19]), jnp.float32),
+                forward=jnp.asarray(req.get("forward", [0, 0, 1]), jnp.float32),
+                fov=jnp.float32(req.get("fov", 1.0)),
+            )
+            scene = dataclasses.replace(
+                scene, camera=cam, black_hole=bh,
+                time=jnp.float32(req.get("time", 0.0)),
+            )
+            cfg = RenderConfig(
+                width=self.width,
+                height=self.height,
+                use_ladder=False,
+                max_iterations=self.max_iterations,
+                march_mode=self.march_mode,
+                geodesics="kerr" if req.get("kerr") else "pseudo",
+                show_disk=bool(req.get("show_disk", True)),
+                show_redshift=bool(req.get("show_redshift", True)),
+                show_sky=bool(req.get("show_sky", True)),
+                bloom=BloomConfig(enabled=bool(req.get("bloom", True))),
+                fxaa=FxaaConfig(enabled=bool(req.get("fxaa", True))),
+            )
+            img = to_uint8(np.asarray(render_jit(scene, cfg)))
+        from PIL import Image
+
+        buf = _io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        return buf.getvalue()
+
+
+def serve(host="127.0.0.1", port=8089, **kw):
+    """Start the viewer (blocking).  ``python -m bhx.viewer``."""
+    server = ViewerServer(**kw)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_GET(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(_PAGE.encode())
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                png = server.render_frame(req)
+            except Exception as e:  # surface render/parse errors to the client
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(str(e).encode())
+                return
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.end_headers()
+            self.wfile.write(png)
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    print(f"bhx viewer on http://{host}:{port}")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8089)
+    ap.add_argument("--width", type=int, default=480)
+    ap.add_argument("--height", type=int, default=270)
+    args = ap.parse_args()
+    serve(port=args.port, width=args.width, height=args.height)
