@@ -22,6 +22,11 @@ def _build_config(args) -> "RenderConfig":
         RenderConfig,
     )
 
+    mode = args.march_mode
+    if mode == "auto":
+        import jax
+
+        mode = "pallas" if jax.default_backend() == "tpu" else "fast"
     ladder = LadderConfig.for_resolution(args.width, args.height, args.ladder_levels)
     return RenderConfig(
         width=args.width,
@@ -40,7 +45,7 @@ def _build_config(args) -> "RenderConfig":
         bloom=BloomConfig(enabled=not args.no_bloom, mix_ratio=args.mix_ratio),
         fxaa=FxaaConfig(enabled=not args.no_fxaa),
         tonemap=not args.no_tonemap,
-        march_mode=args.march_mode,
+        march_mode=mode,
     )
 
 
@@ -92,12 +97,19 @@ def _add_scene_flags(p: argparse.ArgumentParser):
     p.add_argument("--fov", type=float, default=1.0)
     p.add_argument("--time", type=float, default=0.0)
     p.add_argument("--obj", action="append", default=[], help="OBJ mesh path")
-    p.add_argument("--integrator", choices=["euler", "rk45"], default="rk45")
+    # Euler is the reference's shipped default (ray_pipeline.rs:4-14
+    # zero-inits integration_method).
+    p.add_argument("--integrator", choices=["euler", "rk45"], default="euler")
     p.add_argument("--step-size", type=float, default=0.15)
     p.add_argument("--max-iterations", type=int, default=2000)
     p.add_argument("--division-threshold", type=float, default=0.02)
     p.add_argument("--ladder-levels", type=int, default=4)
-    p.add_argument("--march-mode", choices=["fast", "diff"], default="fast")
+    p.add_argument(
+        "--march-mode",
+        choices=["auto", "fast", "diff", "pallas"],
+        default="auto",
+        help="auto = Pallas kernel on TPU, jnp while_loop elsewhere",
+    )
     p.add_argument("--mix-ratio", type=float, default=0.7)
     for flag in (
         "no-disk", "no-disk-texture", "no-redshift", "no-sky", "no-meshes",

@@ -146,7 +146,10 @@ class RenderConfig:
     # Pallas-accelerated).  "kerr": exact Kerr null geodesics via the
     # autodiff Hamiltonian in bhx.kerr (spin-capable; jnp path only).
     geodesics: str = "pseudo"
-    integrator: Integrator = Integrator.RK45
+    # The reference ships with Euler (RayDetails::default() zero-inits
+    # integration_method to 0 = Euler, ray_pipeline.rs:4-14, mod.rs:116-121);
+    # RK45 remains selectable exactly like its UI combo box.
+    integrator: Integrator = Integrator.EULER
     step_size: float = 0.15
     max_iterations: int = 2000
     # Coarse-to-fine subdivision threshold on escape-direction divergence
@@ -191,8 +194,12 @@ class RenderConfig:
     # Checkpoint every this many march steps in diff mode.
     checkpoint_every: int = 50
     # Pallas mode: march this many steps per kernel round, then compact
-    # still-active rays (sort) before the next round.
-    pallas_round_steps: int = 256
+    # still-active rays before the next round.  Default = one round: camera
+    # rays are spatially coherent, so per-tile early exit already tracks
+    # the local march depth and extra rounds just pay fixed permute/launch
+    # costs (measured on v5e: 1 round 2.75s vs 8 rounds 3.10s at dense
+    # 1080p).  Lower it only for scenes with severe per-tile divergence.
+    pallas_round_steps: int = 4096
     # Steps between the kernel's all-lanes-done votes (budget-capped rays
     # may overrun by up to this many steps; see march_pallas.VOTE_EVERY).
     pallas_vote_every: int = 32

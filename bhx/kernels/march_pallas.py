@@ -53,7 +53,7 @@ from bhx.integrate import (
 LANES = 8 * 128  # rays per grid step
 
 # Input ray fields.
-IN_FIELDS = 9  # px, py, pz, dx, dy, dz, h, active, amount
+IN_FIELDS = 10  # px, py, pz, dx, dy, dz, h, active, amount, steps_done
 
 # Scalar parameter vector layout (SMEM).
 _P = dict(
@@ -61,6 +61,10 @@ _P = dict(
     disk_nx=6, disk_ny=7, disk_nz=8, disk_inner=9, disk_outer=10,
     step_size=11, cutoff=12, rtol=13, safety=14, min_f=15, max_f=16,
     h_min=17, h_max=18,
+    # Per-ray total step budget (float): a lane deactivates exactly when
+    # steps_done + steps_this_call reaches it, so multi-round marching
+    # matches the single-call budget semantics bit-for-bit.
+    budget=19,
 )
 NUM_PARAMS = len(_P)
 
@@ -117,6 +121,8 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     h0 = rays_ref[0, 6]
     act0 = rays_ref[0, 7]
     amount0 = rays_ref[0, 8]
+    steps0 = rays_ref[0, 9]
+    budget = p("budget")
 
     zeros = jnp.zeros_like(px0)
     K = kcfg.max_crossings
@@ -130,7 +136,7 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     init = dict(
         px=px0, py=py0, pz=pz0, dx=dx0, dy=dy0, dz=dz0,
         h=h0,
-        act=act0,  # float 0/1: Mosaic cannot carry i1 vectors
+        act=jnp.where(steps0 < budget, act0, 0.0),  # float 0/1: Mosaic cannot carry i1 vectors
         steps=zeros,
         closest2=(px0 - bx) ** 2 + (py0 - by) ** 2 + (pz0 - bz) ** 2,
         # Continue the running transmission bound across march rounds.
@@ -319,14 +325,15 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
         )
         horizon = jnp.where(hit_horizon, 1.0, s["horizon"])
         exited = jnp.where(exited_now, 1.0, s["exited"])
+        steps = s["steps"] + jnp.where(act, 1.0, 0.0)
         act_out = jnp.where(
             jnp.logical_and(
-                act, jnp.logical_not(jnp.logical_or(exited_now, absorbed))
+                jnp.logical_and(act, steps0 + steps < budget),
+                jnp.logical_not(jnp.logical_or(exited_now, absorbed)),
             ),
             1.0,
             0.0,
         )
-        steps = s["steps"] + jnp.where(act, 1.0, 0.0)
 
         return dict(
             px=out_px, py=out_py, pz=out_pz, dx=out_dx, dy=out_dy, dz=out_dz,
@@ -368,7 +375,8 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
     """Run the march kernel.
 
     rays: (N, IN_FIELDS) float32 — px, py, pz, dx, dy, dz, h0, active,
-    amount — N a multiple of 1024.  params: (NUM_PARAMS,) float32 per _P.
+    amount, steps_done — N a multiple of 1024.  params: (NUM_PARAMS,)
+    float32 per _P.
     Returns (N, OUT_FIXED + 7K) float32.
     """
     n = rays.shape[0]
@@ -408,5 +416,6 @@ def pack_params(black_hole, disk_normal, cfg) -> jnp.ndarray:
         jnp.float32(cfg.rk_rtol), jnp.float32(cfg.rk_safety),
         jnp.float32(cfg.rk_min_factor), jnp.float32(cfg.rk_max_factor),
         jnp.float32(cfg.rk_h_min), jnp.float32(cfg.rk_h_max),
+        jnp.float32(cfg.max_iterations),
     ]
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])

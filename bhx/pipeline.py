@@ -7,12 +7,12 @@ wgpu pipeline per pass) with a single jitted function:
 
 The reference's coarse-to-fine "adaptive grid" (ray.wgsl:167-243) decides
 per fine pixel whether to copy a coarse pixel, interpolate escape
-directions, or re-trace.  Its per-pixel branch becomes the TPU-shaped
-gather -> compact -> dense-retrace -> scatter (SURVEY.md §7 hard part 4):
-the needs-trace set is compacted to the front with a stable argsort and
-traced in fixed-size dense chunks inside a while_loop, so the cost is
-proportional to the number of rays actually traced while every chunk is a
-fully dense, static-shape batch.
+directions, or re-trace.  Its per-pixel branch becomes a masked dense
+retrace (SURVEY.md §7 hard part 4): the whole level is traced with the
+needs-trace set as the initial active mask, and the march kernel's O(n)
+stable-partition compaction packs live rays into dense tiles each round —
+so traced work is proportional to the needs count while every shape stays
+static and the level is a single pipeline invocation.
 """
 
 from __future__ import annotations
@@ -27,13 +27,6 @@ from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
 from bhx.scene import Scene
 from bhx.shading import sample_sky
 from bhx.tracer import camera_rays, trace_image, trace_rays
-
-# Dense retrace chunk: a multiple of the 8x128 VPU tile.  Large chunks
-# amortize per-dispatch overheads and give the Pallas march kernel enough
-# tiles to fill; the waste in the final partial chunk is bounded by one
-# chunk of rays.
-_CHUNK = 32768
-
 
 def sky_pass(img4, sky_tex):
     """Convert escape-encoded pixels (alpha 0, rgb = direction) to sky
@@ -70,12 +63,21 @@ def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height:
     ty = gy // m
     exact = ((gx % m) == 0) & ((gy % m) == 0)
 
-    tx1 = jnp.minimum(tx + 1, pw - 1)
-    ty1 = jnp.minimum(ty + 1, ph - 1)
-    c_tl = prev_img[ty, tx]
-    c_tr = prev_img[ty, tx1]
-    c_bl = prev_img[ty1, tx]
-    c_br = prev_img[ty1, tx1]
+    # The 4 coarse neighbours as nearest-upsamples of (shifted) prev_img:
+    # c_tl[yf, xf] = prev[yf//m, xf//m] is a repeat, and the +1 neighbours
+    # are repeats of edge-clamped shifts — pure stencil ops instead of 4
+    # full-frame gathers (TPU gathers cost ~per row).
+    def up(img):
+        r = jnp.repeat(jnp.repeat(img, m, axis=0), m, axis=1)
+        return r[:height, :width]
+
+    sh_x = jnp.concatenate([prev_img[:, 1:], prev_img[:, -1:]], axis=1)
+    sh_y = jnp.concatenate([prev_img[1:], prev_img[-1:]], axis=0)
+    sh_xy = jnp.concatenate([sh_y[:, 1:], sh_y[:, -1:]], axis=1)
+    c_tl = up(prev_img)
+    c_tr = up(sh_x)
+    c_bl = up(sh_y)
+    c_br = up(sh_xy)
 
     angles = jnp.stack(
         [
@@ -103,31 +105,17 @@ def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height:
     known = jnp.where(exact[..., None], c_tl, interp_rgba)
     needs = ~exact & ~can_interp
 
-    # --- compact + dense retrace ---
-    n = width * height
-    chunk = min(_CHUNK, n)
+    # --- masked dense retrace ---
+    # Trace the whole level with the needs mask as the initial active set:
+    # the march's compaction packs live rays into dense tiles, so traced
+    # work tracks the needs count while every shape stays static.  This
+    # replaces the old serialized chunk loop (gather/trace/scatter per
+    # chunk), which cost a full pipeline round-trip per 32k rays.
     needs_flat = needs.reshape(-1)
-    img_flat = known.reshape(-1, 4)
-    o_flat = o.reshape(-1, 3)
-    d_flat = d.reshape(-1, 3)
-    order = jnp.argsort(~needs_flat, stable=True).astype(jnp.int32)
-    count = jnp.sum(needs_flat.astype(jnp.int32))
-
-    def cond(carry):
-        _, start = carry
-        return start < count
-
-    def body(carry):
-        img, start = carry
-        astart = jnp.minimum(start, n - chunk)
-        idx = jax.lax.dynamic_slice(order, (astart,), (chunk,))
-        res = trace_rays(o_flat[idx], d_flat[idx], scene, cfg)
-        valid = (astart + jnp.arange(chunk)) < count
-        merged = jnp.where(valid[:, None], res, img[idx])
-        img = img.at[idx].set(merged)
-        return img, start + chunk
-
-    img_flat, _ = jax.lax.while_loop(cond, body, (img_flat, jnp.int32(0)))
+    res = trace_rays(
+        o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg, active=needs_flat
+    )
+    img_flat = jnp.where(needs_flat[:, None], res, known.reshape(-1, 4))
     return img_flat.reshape(height, width, 4)
 
 

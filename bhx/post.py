@@ -15,6 +15,10 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+import functools
+
+import numpy as np
+
 from bhx.config import BloomConfig, FxaaConfig
 from bhx.shading import aces_tonemap, sample_bilinear
 
@@ -22,6 +26,39 @@ from bhx.shading import aces_tonemap, sample_bilinear
 def _sample_uv(img, u, v):
     """Clamp-addressed bilinear sample of (H, W, C) at uv arrays."""
     return sample_bilinear(img, u, v, wrap=False)
+
+
+@functools.lru_cache(maxsize=256)
+def _resample_matrix(src: int, out: int, taps: tuple) -> np.ndarray:
+    """(out, src) matrix M with M @ v = multi-tap bilinear resample of v.
+
+    Each output sample i reads source coordinate
+    ``x = (i + 0.5) * src / out - 0.5 + off`` for every (off, w) in taps
+    (off in *source texels*), bilinearly with clamp-to-edge — the exact
+    math of a GPU linear sampler at uv offsets, but expressed as a dense
+    matrix so a whole separable filter pass is one MXU matmul instead of
+    millions of gathers.
+    """
+    m = np.zeros((out, src), np.float32)
+    for i in range(out):
+        base = (i + 0.5) * src / out - 0.5
+        for off, w in taps:
+            x = base + off
+            x0 = int(np.floor(x))
+            f = x - x0
+            m[i, min(max(x0, 0), src - 1)] += w * (1.0 - f)
+            m[i, min(max(x0 + 1, 0), src - 1)] += w * f
+    return m
+
+
+def _separable_pass(img, taps_y: tuple, taps_x: tuple, out_wh):
+    """Apply a separable multi-tap bilinear filter via two matmuls."""
+    out_w, out_h = out_wh
+    src_h, src_w = img.shape[0], img.shape[1]
+    my = jnp.asarray(_resample_matrix(src_h, out_h, taps_y))
+    mx = jnp.asarray(_resample_matrix(src_w, out_w, taps_x))
+    tmp = jnp.einsum("ph,hwc->pwc", my, img)
+    return jnp.einsum("qw,pwc->pqc", mx, tmp)
 
 
 def _uv_grid(width: int, height: int):
@@ -32,46 +69,31 @@ def _uv_grid(width: int, height: int):
 
 
 def bloom_downsample(img, out_wh: Tuple[int, int]):
-    """13-tap downsample (bloom_down.wgsl:40-59) to (out_w, out_h)."""
-    out_w, out_h = out_wh
-    src_h, src_w = img.shape[0], img.shape[1]
-    x = 1.0 / src_w
-    y = 1.0 / src_h
-    uu, vv = _uv_grid(out_w, out_h)
+    """13-tap downsample (bloom_down.wgsl:40-59) to (out_w, out_h).
 
-    def s(du, dv):
-        return _sample_uv(img, uu + du, vv + dv)
-
-    a = s(-2 * x, +2 * y); b = s(0.0, +2 * y); c = s(+2 * x, +2 * y)
-    d = s(-2 * x, 0.0);    e = s(0.0, 0.0);    f = s(+2 * x, 0.0)
-    g = s(-2 * x, -2 * y); h = s(0.0, -2 * y); i = s(+2 * x, -2 * y)
-    j = s(-x, +y); k = s(+x, +y); l = s(-x, -y); m = s(+x, -y)
-
-    out = e * 0.125
-    out += (a + c + g + i) * 0.03125
-    out += (b + d + f + h) * 0.0625
-    out += (j + k + l + m) * 0.125
-    return out
+    The CoD 13-tap pattern decomposes into two separable groups —
+    taps at {-2,0,+2}² texels with weights 0.5·[¼,½,¼]⊗[¼,½,¼]
+    (0.03125 corners / 0.0625 edges / 0.125 center) plus taps at {-1,+1}²
+    with weights 0.5·[½,½]⊗[½,½] (0.125 each) — so the whole pass is four
+    matmuls on the MXU instead of 52 gathers per output pixel.
+    """
+    group_a = ((-2.0, 0.25), (0.0, 0.5), (2.0, 0.25))
+    group_b = ((-1.0, 0.5), (1.0, 0.5))
+    half_a = _separable_pass(img, group_a, group_a, out_wh)
+    half_b = _separable_pass(img, group_b, group_b, out_wh)
+    return 0.5 * half_a + 0.5 * half_b
 
 
 def bloom_upsample(img, out_wh: Tuple[int, int], radius_uv: float = 0.005):
-    """9-tap tent upsample at fixed uv radius (bloom_up.wgsl:35-53)."""
-    out_w, out_h = out_wh
-    x = radius_uv
-    y = radius_uv
-    uu, vv = _uv_grid(out_w, out_h)
+    """9-tap tent upsample at fixed uv radius (bloom_up.wgsl:35-53).
 
-    def s(du, dv):
-        return _sample_uv(img, uu + du, vv + dv)
-
-    a = s(-x, +y); b = s(0.0, +y); c = s(+x, +y)
-    d = s(-x, 0.0); e = s(0.0, 0.0); f = s(+x, 0.0)
-    g = s(-x, -y); h = s(0.0, -y); i = s(+x, -y)
-
-    out = e * 4.0
-    out += (b + d + f + h) * 2.0
-    out += a + c + g + i
-    return out / 16.0
+    The 3x3 tent [1,2,1]⊗[1,2,1]/16 is separable; the fixed uv radius maps
+    to (radius · source_size) texels per axis.
+    """
+    src_h, src_w = img.shape[0], img.shape[1]
+    taps_x = ((-radius_uv * src_w, 0.25), (0.0, 0.5), (radius_uv * src_w, 0.25))
+    taps_y = ((-radius_uv * src_h, 0.25), (0.0, 0.5), (radius_uv * src_h, 0.25))
+    return _separable_pass(img, taps_y, taps_x, out_wh)
 
 
 def bloom_chain(img, cfg: BloomConfig):
@@ -188,60 +210,76 @@ def fxaa_pass(img, cfg: FxaaConfig):
     step_len = jnp.where(is1, -step_len, step_len)
     l_avg = jnp.where(is1, 0.5 * (luma1 + l_c), 0.5 * (luma2 + l_c))
 
-    uu, vv = _uv_grid(wdt, hgt)
-    cur_u = jnp.where(is_horizontal, uu, uu + step_len * 0.5)
-    cur_v = jnp.where(is_horizontal, vv + step_len * 0.5, vv)
-    off_u = jnp.where(is_horizontal, inv_w, 0.0)
-    off_v = jnp.where(is_horizontal, 0.0, inv_h)
+    # --- edge walk, TPU-shaped: fixed-schedule shifts, ZERO gathers -------
+    # Two observations turn the data-dependent walk into pure stencil ops:
+    #
+    # 1. Every walk sample sits half a texel off-axis (currentUv ± 0.5·step
+    #    perpendicular, fxaa.wgsl:110-116), i.e. it is exactly the average
+    #    of two adjacent texels — precompute those as "pair images" of
+    #    luma (rows for horizontal edges, columns for vertical).
+    #    (Divergence note: the reference lumas the bilinear rgb sample; we
+    #    bilinearly blend per-texel lumas — sub-1e-2 on the walk values.)
+    # 2. The walk advances by the fixed QUALITY schedule, so every pixel
+    #    still walking at iteration i sits at the SAME distance D_i =
+    #    2 + sum(quality[2..i-1]) from its center: a sample is a *fixed
+    #    shift* of the pair image (half-texel D -> mean of two shifts),
+    #    never a gather.  Only *whether* a pixel samples is data-dependent,
+    #    and that is a lane mask.
+    pair_v = 0.5 * (luma_img + _shift(luma_img, +1, 0))  # rows y, y+1
+    pair_h = 0.5 * (luma_img + _shift(luma_img, 0, +1))  # cols x, x+1
+    is1_i = is1.astype(jnp.int32)
 
-    def sample_luma(u, v):
-        return _luma(_sample_uv(img, u, v))
+    # The pair at (perp-1, perp) vs (perp, perp+1) per step_len sign:
+    # shifting the pair image by -1 perpendicular converts one to the other.
+    pv = jnp.where(is1, _shift(pair_v, -1, 0), pair_v)
+    ph = jnp.where(is1, _shift(pair_h, 0, -1), pair_h)
 
-    u1 = cur_u - off_u
-    v1 = cur_v - off_v
-    u2 = cur_u + off_u
-    v2 = cur_v + off_v
+    def sample_at(dist: float, sign: int):
+        """Pair-image value at signed walk distance `dist` (texels) from the
+        pixel center, for both orientations, as shifted images."""
+        lo = int(np.floor(dist))
+        f = dist - lo
+        off = sign * lo
+        # horizontal edges walk along x; vertical along y
+        h0 = _shift(pv, 0, off)
+        v0 = _shift(ph, off, 0)
+        if f > 0.0:
+            h1 = _shift(pv, 0, off + sign)
+            v1 = _shift(ph, off + sign, 0)
+            h0 = h0 * (1.0 - f) + h1 * f
+            v0 = v0 * (1.0 - f) + v1 * f
+        return jnp.where(is_horizontal, h0, v0)
 
-    le1 = sample_luma(u1, v1) - l_avg
-    le2 = sample_luma(u2, v2) - l_avg
+    # Static distance schedule (prefix sums of the QUALITY table).
+    dists = [1.0, 2.0]
+    for i in range(2, max(cfg.iterations, 2)):
+        dists.append(dists[-1] + _quality(i))
+
+    le1 = sample_at(dists[0], -1) - l_avg
+    le2 = sample_at(dists[0], +1) - l_avg
     reached1 = jnp.abs(le1) >= grad_scaled
     reached2 = jnp.abs(le2) >= grad_scaled
+    p1 = jnp.where(reached1, dists[0], dists[1])
+    p2 = jnp.where(reached2, dists[0], dists[1])
 
-    u1 = jnp.where(reached1, u1, u1 - off_u)
-    v1 = jnp.where(reached1, v1, v1 - off_v)
-    u2 = jnp.where(reached2, u2, u2 + off_u)
-    v2 = jnp.where(reached2, v2, v2 + off_v)
-
-    # Edge walk as a fori_loop (smaller graph than unrolling 10 sample-heavy
-    # iterations; compile time matters on big post graphs).
-    quality_tab = jnp.array(
-        [_quality(i) for i in range(max(cfg.iterations, 2))], jnp.float32
-    )
-
-    def walk(i, carry):
-        u1, v1, u2, v2, le1, le2, reached1, reached2 = carry
+    for i in range(2, cfg.iterations):
         both = reached1 & reached2
-        q = quality_tab[i]
-        le1 = jnp.where(reached1, le1, sample_luma(u1, v1) - l_avg)
-        le2 = jnp.where(reached2, le2, sample_luma(u2, v2) - l_avg)
+        le1 = jnp.where(reached1, le1, sample_at(dists[i - 1], -1) - l_avg)
+        le2 = jnp.where(reached2, le2, sample_at(dists[i - 1], +1) - l_avg)
         new_r1 = jnp.abs(le1) >= grad_scaled
         new_r2 = jnp.abs(le2) >= grad_scaled
         adv1 = ~both & ~new_r1
         adv2 = ~both & ~new_r2
-        u1 = jnp.where(adv1, u1 - off_u * q, u1)
-        v1 = jnp.where(adv1, v1 - off_v * q, v1)
-        u2 = jnp.where(adv2, u2 + off_u * q, u2)
-        v2 = jnp.where(adv2, v2 + off_v * q, v2)
-        return (u1, v1, u2, v2, le1, le2, reached1 | new_r1, reached2 | new_r2)
+        p1 = jnp.where(adv1, dists[i], p1)
+        p2 = jnp.where(adv2, dists[i], p2)
+        reached1 = reached1 | new_r1
+        reached2 = reached2 | new_r2
 
-    (u1, v1, u2, v2, le1, le2, reached1, reached2) = jax.lax.fori_loop(
-        2, cfg.iterations,
-        walk,
-        (u1, v1, u2, v2, le1, le2, reached1, reached2),
-    )
-
-    dist1 = jnp.where(is_horizontal, vv - v1, uu - u1)
-    dist2 = jnp.where(is_horizontal, v2 - vv, u2 - uu)
+    # Distances along the WALK axis (fxaa.wgsl:163-164: x for horizontal
+    # edges, y for vertical), converted back to uv units.
+    unit = jnp.where(is_horizontal, inv_w, inv_h)
+    dist1 = p1 * unit
+    dist2 = p2 * unit
     is_dir1 = dist1 < dist2
     dist_final = jnp.minimum(dist1, dist2)
     edge_thickness = dist1 + dist2
@@ -258,7 +296,12 @@ def fxaa_pass(img, cfg: FxaaConfig):
     sub_final = sub2 * sub2 * cfg.subpixel_quality
     final_offset = jnp.maximum(final_offset, sub_final)
 
-    fin_u = jnp.where(is_horizontal, uu, uu + final_offset * step_len)
-    fin_v = jnp.where(is_horizontal, vv + final_offset * step_len, vv)
-    out = _sample_uv(img, fin_u, fin_v)
+    # Final resample: a sub-texel shift (|t| < 1) along the perpendicular
+    # axis only — a 2-texel lerp via shifted images, no gather
+    # (fxaa.wgsl:191-198).
+    t = final_offset[..., None]
+    nb_h = jnp.where(is1[..., None], _shift(img, -1, 0), _shift(img, +1, 0))
+    nb_v = jnp.where(is1[..., None], _shift(img, 0, -1), _shift(img, 0, +1))
+    neighbor = jnp.where(is_horizontal[..., None], nb_h, nb_v)
+    out = img * (1.0 - t) + neighbor * t
     return jnp.where(no_edge[..., None], img, out)

@@ -44,6 +44,72 @@ def sample_bilinear(tex, u, v, wrap: bool = False):
     return top * (1 - fy) + bot * fy
 
 
+def _quad_pack(tex, wrap: bool):
+    """Pack a (H, W, C) texture into 4 parity variants of 2x2 neighborhoods.
+
+    Returns (flat, k2, j2) with flat of shape (4*k2*j2, 2, 2, C):
+    ``flat[((a*2+b)*k2 + y0//2)*j2 + x0//2]`` holds texels
+    (y0, x0), (y0, x0+1), (y0+1, x0), (y0+1, x0+1) for a = y0&1, b = x0&1,
+    with clamp-to-edge or wrap addressing at the borders.  One gather row
+    then serves a whole bilinear sample (TPU gathers cost per row, so this
+    is 4x fewer gathers than fetching the corners separately).  Built from
+    pad/slice/reshape only — no gathers, cheap streaming inside the jit.
+    """
+    h, w, c = tex.shape
+    k2 = (h + 1) // 2
+    j2 = (w + 1) // 2
+
+    def padded(a: int, b: int):
+        # rows a .. a + 2*k2, cols b .. b + 2*j2 with edge handling
+        need_h = a + 2 * k2
+        need_w = b + 2 * j2
+        if wrap:
+            t = jnp.concatenate([tex, tex[: need_h - h]], axis=0) if need_h > h else tex
+            t = t[a:a + 2 * k2]
+            t = jnp.concatenate([t, t[:, : need_w - w]], axis=1) if need_w > w else t
+            t = t[:, b:b + 2 * j2]
+        else:
+            pad_h = need_h - h
+            t = jnp.concatenate([tex] + [tex[-1:]] * pad_h, axis=0) if pad_h > 0 else tex
+            t = t[a:a + 2 * k2]
+            pad_w = need_w - w
+            t = jnp.concatenate([t] + [t[:, -1:]] * pad_w, axis=1) if pad_w > 0 else t
+            t = t[:, b:b + 2 * j2]
+        return t.reshape(k2, 2, j2, 2, c).transpose(0, 2, 1, 3, 4)
+
+    quads = jnp.stack(
+        [padded(0, 0), padded(0, 1), padded(1, 0), padded(1, 1)]
+    )  # (4, k2, j2, 2, 2, C); variant index a*2+b
+    return quads.reshape(4 * k2 * j2, 2, 2, c), k2, j2
+
+
+def sample_bilinear_fast(tex, u, v, wrap: bool = False):
+    """Bilinear sample via quad-packed texture: ONE gather row per sample.
+
+    Same math and addressing as :func:`sample_bilinear` (texel centers at
+    (i + 0.5)/size, clamp or repeat), restructured for the TPU's
+    row-granular gather cost.
+    """
+    h, w = tex.shape[0], tex.shape[1]
+    flat, k2, j2 = _quad_pack(tex, wrap)
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0i % w if wrap else jnp.clip(x0i, 0, w - 1)
+    y0i = y0i % h if wrap else jnp.clip(y0i, 0, h - 1)
+    variant = (y0i & 1) * 2 + (x0i & 1)
+    idx = (variant * k2 + (y0i >> 1)) * j2 + (x0i >> 1)
+    q = flat[idx]  # (..., 2, 2, C)
+    top = q[..., 0, 0, :] * (1 - fx) + q[..., 0, 1, :] * fx
+    bot = q[..., 1, 0, :] * (1 - fx) + q[..., 1, 1, :] * fx
+    return top * (1 - fy) + bot * fy
+
+
 def smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
@@ -69,7 +135,7 @@ def sample_sky(sky_tex, direction):
     """Sky radiance for an escape direction: bilinear sample then ^4
     (reference sky.wgsl:23-26)."""
     u, v = sky_uv(direction)
-    rgb = sample_bilinear(sky_tex, u, v, wrap=True)[..., :3]
+    rgb = sample_bilinear_fast(sky_tex, u, v, wrap=True)[..., :3]
     return rgb ** 4
 
 
@@ -122,7 +188,7 @@ def disk_shade(
         spun = angle + time * bh.rotation_speed
         u = (jnp.sin(spun) * r_norm + 1.0) * 0.5
         v = (jnp.cos(spun) * r_norm + 1.0) * 0.5
-        texel = sample_bilinear(disk_texture, u, v, wrap=False)
+        texel = sample_bilinear_fast(disk_texture, u, v, wrap=False)
         opacity = opacity * jnp.clip(0.7 + texel[..., 3] * 0.5, 0.0, 1.0)
         color = color * texel[..., :3] * texel[..., 3:4]
 
@@ -147,7 +213,7 @@ def disk_shade(
             )
         )
         shift = jnp.clip(grav * doppler, 0.0, 1.0) ** 2
-        tint = sample_bilinear(temp_lut, shift, jnp.broadcast_to(y, shift.shape))
+        tint = sample_bilinear_fast(temp_lut, shift, jnp.broadcast_to(y, shift.shape))
         color = color * tint[..., :3]
 
     return color, opacity

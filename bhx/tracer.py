@@ -185,17 +185,22 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
     return state
 
 
-def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
+def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
+                        sparse: bool = False):
     """Pallas-kernel march with multi-round compaction and deferred shading.
 
     The kernel marches a tile of 1024 rays until all its lanes finish —
     which makes a tile as slow as its slowest ray (photon-sphere orbiters
     run the full iteration budget while the mean ray takes ~250 steps).
-    Rounds fix that: march at most ``cfg.pallas_round_steps`` steps, *sort
-    rays by still-active* so long-runners compact into a few tiles, and
-    repeat; finished tiles exit their while loop after one vote, so total
-    cost tracks the sum of per-ray steps instead of the per-tile max
-    (SURVEY.md §7 hard part 1 "periodic compaction").
+    Rounds fix that: march at most ``cfg.pallas_round_steps`` steps,
+    stable-partition still-active rays to the front (one cumsum + scatter,
+    no sort) so long-runners compact into a few tiles, and repeat inside a
+    lax.while_loop that stops as soon as no lane is active; finished tiles
+    exit their kernel loop after one vote, so total cost tracks the sum of
+    per-ray steps instead of the per-tile max (SURVEY.md §7 hard part 1
+    "periodic compaction").  Per-ray budgets ride into the kernel (input
+    field 9 + params "budget") so the multi-round budget semantics equal a
+    single call's.
 
     Crossing slots recorded by each round are merged into per-ray
     accumulators (cheap selects) and shaded *once* after the last round —
@@ -219,22 +224,19 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
     npad = n + pad
     K = MarchKernelConfig.max_crossings
 
-    round_steps = max(1, int(cfg.pallas_round_steps))
+    round_steps = max(1, min(int(cfg.pallas_round_steps), cfg.max_iterations))
     n_rounds = -(-cfg.max_iterations // round_steps)
-    # Exact total budget: full rounds + remainder (kernel UNROLL may overrun
-    # the final round by <= UNROLL-1 steps for budget-capped rays only).
-    budgets = [round_steps] * (n_rounds - 1)
-    budgets.append(cfg.max_iterations - round_steps * (n_rounds - 1))
-
-    def make_kcfg(budget):
-        return MarchKernelConfig(
-            integrator="euler" if cfg.integrator == Integrator.EULER else "rk45",
-            max_iterations=budget,
-            tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
-            show_disk=cfg.show_disk,
-            vote_every=cfg.pallas_vote_every,
-            interpret=cfg.march_mode == "pallas_interpret",
-        )
+    # Every round runs the same kernel for round_steps; the *total* budget
+    # rides in the params vector and each lane deactivates itself exactly
+    # when its cumulative step count reaches it.
+    kcfg = MarchKernelConfig(
+        integrator="euler" if cfg.integrator == Integrator.EULER else "rk45",
+        max_iterations=round_steps,
+        tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
+        show_disk=cfg.show_disk,
+        vote_every=cfg.pallas_vote_every,
+        interpret=cfg.march_mode == "pallas_interpret",
+    )
 
     params = pack_params(bh, disk_normal, cfg)
 
@@ -245,6 +247,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
         return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
 
     was = state["status"] == 1
+    # All accumulators stay in ORIGINAL index space; only the packed kernel
+    # input/output arrays are permuted, so compaction costs one scatter +
+    # two single-array gathers per round instead of re-ordering the whole
+    # state dict (which measured ~0.4s/frame at 1080p).
     work = dict(
         pos=padded(state["pos"]),
         dir=padded(state["dir"]),
@@ -257,26 +263,45 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
         exited=padded(jnp.zeros((n,), jnp.float32)),
         count=padded(jnp.zeros((n,), jnp.float32)),
         slots=jnp.zeros((npad, K, CROSS_FIELDS), jnp.float32),
-        cam=padded(cam_dist),
-        idx=jnp.arange(npad, dtype=jnp.int32),
     )
+    # The ladder's masked retrace (and any tracer round after the first)
+    # hands us a sparse active set; a dense primary trace (every ray
+    # active) skips the pointless identity compaction.
+    sparse_first = sparse
 
-    for r in range(n_rounds):
-        if r > 0:
-            # Compact still-marching rays to the front so they share tiles.
-            order = jnp.argsort(1.0 - work["act"], stable=True)
-            work = {k: v[order] for k, v in work.items()}
+    def _partition(act):
+        """Stable partition (actives first): gather index ``order`` and its
+        inverse ``dest`` from one cumsum + one scatter — no sort."""
+        m = (act > 0.5).astype(jnp.int32)
+        na = jnp.sum(m)
+        pos_a = jnp.cumsum(m) - 1
+        pos_i = na + jnp.cumsum(1 - m) - 1
+        dest = jnp.where(m == 1, pos_a, pos_i)
+        nn = act.shape[0]
+        order = (
+            jnp.zeros((nn,), jnp.int32)
+            .at[dest]
+            .set(jnp.arange(nn, dtype=jnp.int32))
+        )
+        return order, dest
 
+    def do_round(work, compact: bool, first: bool):
+        act_f = work["act"]
         rays = jnp.concatenate(
             [
                 work["pos"], work["dir"], work["h"][:, None],
-                work["act"][:, None], work["amount_ub"][:, None],
+                act_f[:, None], work["amount_ub"][:, None],
+                work["steps"][:, None],
             ],
             axis=-1,
         )
-        out = march_pallas(rays, params, make_kcfg(budgets[r]))
+        if compact:
+            order, dest = _partition(act_f)
+            out = march_pallas(rays[order], params, kcfg)[dest]
+        else:
+            out = march_pallas(rays, params, kcfg)
 
-        active = work["act"] > 0.5
+        active = act_f > 0.5
         pos = jnp.where(active[:, None], out[:, 0:3], work["pos"])
         direction = jnp.where(active[:, None], out[:, 3:6], work["dir"])
         h_new = jnp.where(active, out[:, 10], work["h"])
@@ -296,15 +321,19 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
             round_slots = out[:, OUT_FIXED:].reshape(npad, K, CROSS_FIELDS)
             round_valid = (round_slots[:, :, 6] > 0.5) & active[:, None]
             round_slots = round_slots * round_valid[:, :, None]
-            merged = slots
-            for i in range(K):
-                take = jnp.zeros((npad, CROSS_FIELDS), jnp.float32)
-                for j in range(0, i + 1):
-                    sel = (count == float(i - j))[:, None]
-                    take = jnp.where(sel, round_slots[:, j], take)
-                keep = (count > float(i))[:, None] | (slots[:, i, 6] > 0.5)[:, None]
-                merged = merged.at[:, i].set(jnp.where(keep, merged[:, i], take))
-            slots = merged
+            if first:
+                # No prior slots: this round's records ARE the slots.
+                slots = round_slots
+            else:
+                merged = slots
+                for i in range(K):
+                    take = jnp.zeros((npad, CROSS_FIELDS), jnp.float32)
+                    for j in range(0, i + 1):
+                        sel = (count == float(i - j))[:, None]
+                        take = jnp.where(sel, round_slots[:, j], take)
+                    keep = (count > float(i))[:, None] | (slots[:, i, 6] > 0.5)[:, None]
+                    merged = merged.at[:, i].set(jnp.where(keep, merged[:, i], take))
+                slots = merged
             count = jnp.clip(count + round_valid.sum(-1), 0.0, float(K))
 
         still = (
@@ -312,16 +341,34 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
             & (exited < 0.5)
             & (horizon < 0.5)
             & (amount_ub >= cfg.opacity_cutoff)
+            & (steps < float(cfg.max_iterations))
         )
+        work = dict(work)
         work.update(
             pos=pos, dir=direction, h=h_new, act=still.astype(jnp.float32),
             amount_ub=amount_ub, closest=closest, steps=steps,
             horizon=horizon, exited=exited, count=count, slots=slots,
         )
+        return work
 
-    # Undo the permutations: scatter by original index.
-    inv = jnp.argsort(work["idx"])
-    work = {k: v[inv][:n] for k, v in work.items()}
+    if n_rounds == 1:
+        work = do_round(work, compact=sparse_first, first=True)
+    else:
+        work = do_round(work, compact=sparse_first, first=True)
+
+        def round_body(carry):
+            r, w = carry
+            return r + 1, do_round(w, compact=True, first=False)
+
+        def round_cond(carry):
+            r, w = carry
+            return jnp.logical_and(r < n_rounds - 1, jnp.any(w["act"] > 0.5))
+
+        _, work = jax.lax.while_loop(
+            round_cond, round_body, (jnp.int32(0), work)
+        )
+
+    work = {k: v[:n] for k, v in work.items()}
     was_f = was
 
     # --- shade + composite all recorded crossings once, in slot order ---
@@ -329,19 +376,31 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
     amount = state["amount"]
     hit = state["hit"]
     if cfg.show_disk:
-        for k in range(K):
-            slot = work["slots"][:, k]
-            valid = was_f & (slot[:, 6] > 0.5)
-            rgb, op = disk_shade(
-                slot[:, 0:3], slot[:, 3:6], cam_dist, bh, rot_mat,
-                scene.disk_texture, scene.temp_lut, scene.time,
-                show_texture=cfg.show_disk_texture,
-                show_redshift=cfg.show_redshift,
-            )
-            add = (amount * op)[:, None] * jnp.clip(rgb, 0.0, 1.0)
-            color = jnp.where(valid[:, None], color + add, color)
-            amount = jnp.where(valid, amount * (1.0 - op), amount)
-            hit = hit | valid
+        # One batched shade over all (ray, slot) pairs: a single texture
+        # quad-pack + gather pass instead of K separate ones.
+        slots = work["slots"]  # (n, K, CROSS_FIELDS)
+        valid_nk = was_f[:, None] & (slots[:, :, 6] > 0.5)
+        cam_nk = jnp.broadcast_to(cam_dist[:, None], (n, K)).reshape(-1)
+        rgb_f, op_f = disk_shade(
+            slots[:, :, 0:3].reshape(-1, 3), slots[:, :, 3:6].reshape(-1, 3),
+            cam_nk, bh, rot_mat,
+            scene.disk_texture, scene.temp_lut, scene.time,
+            show_texture=cfg.show_disk_texture,
+            show_redshift=cfg.show_redshift,
+        )
+        rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
+        op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
+        # Front-to-back compositing in slot order (crossings were recorded
+        # in march order): transmission before slot k is the cumulative
+        # product of (1 - op) over earlier slots.
+        trans = jnp.cumprod(1.0 - op_nk, axis=1)
+        trans_before = jnp.concatenate(
+            [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1
+        )
+        contrib = (amount[:, None] * trans_before * op_nk)[..., None] * rgb_nk
+        color = color + contrib.sum(axis=1)
+        amount = amount * trans[:, -1]
+        hit = hit | jnp.any(valid_nk, axis=1)
     horizon_b = was_f & (work["horizon"] > 0.5)
     amount = jnp.where(horizon_b, 0.0, amount)
     hit = hit | horizon_b
@@ -356,7 +415,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
     direction = jnp.where(exited_b[:, None], feathered, work["dir"])
 
     absorbed = was_f & (horizon_b | (amount < cfg.opacity_cutoff))
-    over_budget = was_f & (work["act"] > 0.5) & ~absorbed
+    # Budget-capped rays (photon-sphere orbiters): neither exited nor
+    # absorbed when the loop ends -> classified escaped with their current
+    # direction, like the reference's loop falling through (ray.wgsl:595).
+    over_budget = was_f & ~exited_b & ~absorbed
     status = state["status"]
     status = jnp.where(exited_b & ~absorbed, jnp.int32(0), status)
     status = jnp.where(absorbed, jnp.int32(3), status)
@@ -378,13 +440,14 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist):
     return new_state
 
 
-def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
+def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
+                 sparse: bool = False):
     """Masked geodesic march for rays with status 1 (reference inside
     branch, ray.wgsl:522-553)."""
     if cfg.march_mode in ("pallas", "pallas_interpret") and cfg.geodesics != "kerr":
         # The Pallas kernel implements the pseudo-Newtonian force; exact
         # Kerr (autodiff Hamiltonian) runs the jnp path below.
-        return _march_phase_pallas(state, scene, cfg, cam_dist)
+        return _march_phase_pallas(state, scene, cfg, cam_dist, sparse=sparse)
     bh = scene.black_hole
     rot_mat, disk_normal = bh.disk_frame()
 
@@ -528,21 +591,32 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
 
 
 def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
-               rounds: int = DEFAULT_ROUNDS):
+               rounds: int = DEFAULT_ROUNDS, active=None):
     """Trace a flat batch of rays. origins/directions: (N, 3).
 
     Returns (N, 4): rgb + the reference's alpha encoding — alpha 1 for rays
     whose color is final (sky already composited into the residual
     transmission), alpha 0 with rgb = escape direction for clean escapes
     (consumed by the ladder interpolation and the sky pass).
+
+    ``active`` (optional bool (N,)): rays with False are dead lanes that
+    produce an escape encoding untouched; the Pallas march's compaction
+    squeezes them out, so the cost of a masked trace tracks the True count.
+    The ladder uses this for its sparse retrace (callers discard the masked
+    outputs).
     """
     bh = scene.black_hole
     state = _init_state(origins, directions)
+    if active is not None:
+        state["status"] = jnp.where(active, state["status"], jnp.int32(2))
     cam_dist = jnp.linalg.norm(origins - bh.position, axis=-1)
 
-    for _ in range(rounds):
+    for r in range(rounds):
         state = _straight_phase(state, scene, cfg, cam_dist)
-        state = _march_phase(state, scene, cfg, cam_dist)
+        state = _march_phase(
+            state, scene, cfg, cam_dist,
+            sparse=(active is not None) or r > 0,
+        )
     # Rays still wanting a straight phase after the last march get it once
     # more; any that would re-enter yet again are treated as escapes.
     state = _straight_phase(state, scene, cfg, cam_dist)

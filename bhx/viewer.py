@@ -117,7 +117,11 @@ class ViewerServer:
     """Renders frames on demand; owns one jitted pipeline per static config."""
 
     def __init__(self, width=480, height=270, max_iterations=800,
-                 march_mode="fast"):
+                 march_mode="auto"):
+        if march_mode == "auto":
+            import jax
+
+            march_mode = "pallas" if jax.default_backend() == "tpu" else "fast"
         self.width = width
         self.height = height
         self.max_iterations = max_iterations
