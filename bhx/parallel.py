@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from bhx.config import RenderConfig
 from bhx.pipeline import render
 from bhx.scene import Scene
-from bhx.tracer import camera_rays, trace_rays
+from bhx.tracer import camera_rays, finalize_image, trace_rays_record
 
 TILE_AXIS = "tiles"
 
@@ -60,9 +60,10 @@ def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                         width: int, height: int):
     """Dense trace with pixel rows sharded across the mesh.
 
-    Returns the (height, width, 4) alpha-encoded trace.  Rays are generated
-    host-side-of-jit, resharded row-wise, traced under GSPMD, and the
-    result is reassembled (still sharded — downstream ops decide layout).
+    Returns the (height, width, 8) sky-free record (bhx.tracer record
+    layout).  Rays are generated host-side-of-jit, resharded row-wise,
+    traced under GSPMD, and the result is reassembled (still sharded —
+    downstream ops decide layout).
     """
     o, d = camera_rays(scene.camera, width, height)
     n = mesh.devices.size
@@ -78,11 +79,10 @@ def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
 
     @partial(jax.jit, static_argnames=("cfg",))
     def go(o, d, scene, cfg):
-        out = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
-        return out
+        return trace_rays_record(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
 
     out = go(o, d, scene_rep, cfg)
-    return out.reshape(hp, width, 4)[:height]
+    return out.reshape(hp, width, 8)[:height]
 
 
 def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None):
@@ -92,16 +92,13 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None)
     sharded post chain with halo exchange is a later optimization).
     """
     mesh = mesh or tile_mesh()
-    from bhx.pipeline import sky_pass
     from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
 
-    img4 = trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
+    rec = trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
 
     @partial(jax.jit, static_argnames=("cfg",))
-    def post(img4, scene, cfg):
-        rgb = sky_pass(img4, scene.sky_texture) if cfg.show_sky else jnp.where(
-            img4[..., 3:] == 0.0, 0.0, img4[..., :3]
-        )
+    def post(rec, scene, cfg):
+        rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky)
         if cfg.bloom.enabled:
             rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
         if cfg.tonemap:
@@ -110,7 +107,7 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None)
             rgb = fxaa_pass(rgb, cfg.fxaa)
         return rgb
 
-    return post(img4, scene, cfg)
+    return post(rec, scene, cfg)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,17 @@ from bhx.config import RenderConfig
 from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
 from bhx.scene import Scene
 from bhx.shading import sample_sky
-from bhx.tracer import camera_rays, trace_image, trace_rays
+from bhx.tracer import (
+    REC_ALPHA,
+    REC_DIR,
+    camera_rays,
+    finalize_image,
+    trace_image,
+    trace_image_record,
+    trace_rays,
+    trace_rays_record,
+)
+
 
 def sky_pass(img4, sky_tex):
     """Convert escape-encoded pixels (alpha 0, rgb = direction) to sky
@@ -81,15 +91,19 @@ def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height:
 
     angles = jnp.stack(
         [
-            _angle_between(c_bl[..., :3], c_tl[..., :3]),
-            _angle_between(c_br[..., :3], c_tr[..., :3]),
-            _angle_between(c_tl[..., :3], c_tr[..., :3]),
-            _angle_between(c_bl[..., :3], c_br[..., :3]),
+            _angle_between(c_bl[..., REC_DIR], c_tl[..., REC_DIR]),
+            _angle_between(c_br[..., REC_DIR], c_tr[..., REC_DIR]),
+            _angle_between(c_tl[..., REC_DIR], c_tr[..., REC_DIR]),
+            _angle_between(c_bl[..., REC_DIR], c_br[..., REC_DIR]),
         ],
         axis=-1,
     )
     alphas = jnp.stack(
-        [c_tl[..., 3], c_tr[..., 3], c_bl[..., 3], c_br[..., 3]], axis=-1
+        [
+            c_tl[..., REC_ALPHA], c_tr[..., REC_ALPHA],
+            c_bl[..., REC_ALPHA], c_br[..., REC_ALPHA],
+        ],
+        axis=-1,
     )
     can_interp = jnp.all(alphas == 0.0, axis=-1) & jnp.all(
         angles < cfg.angle_division_threshold, axis=-1
@@ -97,12 +111,16 @@ def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height:
 
     fx = (gx / m - tx)[..., None]
     fy = (gy / m - ty)[..., None]
-    dir_top = c_tl[..., :3] * (1 - fx) + c_tr[..., :3] * fx
-    dir_bot = c_bl[..., :3] * (1 - fx) + c_br[..., :3] * fx
+    dir_top = c_tl[..., REC_DIR] * (1 - fx) + c_tr[..., REC_DIR] * fx
+    dir_bot = c_bl[..., REC_DIR] * (1 - fx) + c_br[..., REC_DIR] * fx
     dir_interp = dir_top * (1 - fy) + dir_bot * fy
-    interp_rgba = jnp.concatenate([dir_interp, jnp.zeros_like(fx)], axis=-1)
+    # Interpolated-escape record: no color, alpha 0, full transmission.
+    zero3 = jnp.zeros_like(dir_interp)
+    interp_rec = jnp.concatenate(
+        [zero3, jnp.zeros_like(fx), jnp.ones_like(fx), dir_interp], axis=-1
+    )
 
-    known = jnp.where(exact[..., None], c_tl, interp_rgba)
+    known = jnp.where(exact[..., None], c_tl, interp_rec)
     needs = ~exact & ~can_interp
 
     # --- masked dense retrace ---
@@ -112,22 +130,26 @@ def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height:
     # replaces the old serialized chunk loop (gather/trace/scatter per
     # chunk), which cost a full pipeline round-trip per 32k rays.
     needs_flat = needs.reshape(-1)
-    res = trace_rays(
+    res = trace_rays_record(
         o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg, active=needs_flat
     )
-    img_flat = jnp.where(needs_flat[:, None], res, known.reshape(-1, 4))
-    return img_flat.reshape(height, width, 4)
+    rec_flat = jnp.where(needs_flat[:, None], res, known.reshape(-1, 8))
+    return rec_flat.reshape(height, width, 8)
 
 
 def ladder_trace(scene: Scene, cfg: RenderConfig):
-    """Full coarse-to-fine trace at the ladder's final resolution."""
+    """Full coarse-to-fine trace at the ladder's final resolution.
+
+    Operates on sky-free records ((H, W, 8)); the caller finalizes sky
+    exactly once on the last level.
+    """
     lad = cfg.ladder_for_output()
     w0, h0 = lad.resolution(0)
-    img = trace_image(scene, cfg, w0, h0)
+    rec = trace_image_record(scene, cfg, w0, h0)
     for lvl in range(1, lad.levels):
         w, h = lad.resolution(lvl)
-        img = _refine_level(img, scene, cfg, w, h)
-    return img
+        rec = _refine_level(rec, scene, cfg, w, h)
+    return rec
 
 
 def render(scene: Scene, cfg: RenderConfig = RenderConfig()):
@@ -137,20 +159,20 @@ def render(scene: Scene, cfg: RenderConfig = RenderConfig()):
     traceable function: jit it (or take its grad in dense mode) directly.
     """
     if cfg.use_ladder and cfg.march_mode != "diff":
-        img4 = ladder_trace(scene, cfg)
+        rec = ladder_trace(scene, cfg)
         lw, lh = cfg.ladder_for_output().final_resolution
         # Center-crop the ladder overshoot down to the requested output.
         x0 = (lw - cfg.width) // 2
         y0 = (lh - cfg.height) // 2
-        img4 = jax.lax.dynamic_slice(
-            img4, (y0, x0, 0), (cfg.height, cfg.width, 4)
+        rec = jax.lax.dynamic_slice(
+            rec, (y0, x0, 0), (cfg.height, cfg.width, 8)
         )
     else:
-        img4 = trace_image(scene, cfg, cfg.width, cfg.height)
+        rec = trace_image_record(scene, cfg, cfg.width, cfg.height)
 
-    rgb = sky_pass(img4, scene.sky_texture) if cfg.show_sky else jnp.where(
-        img4[..., 3:] == 0.0, 0.0, img4[..., :3]
-    )
+    # ONE sky pass for the whole frame (hit pixels' residual transmission
+    # and escapes' full sky in the same formula).
+    rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky)
 
     if cfg.bloom.enabled:
         bloom = bloom_chain(rgb, cfg.bloom)
@@ -196,23 +218,23 @@ def render_tiled(
     import numpy as np
 
     from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
-    from bhx.tracer import camera_rays, trace_rays
+    from bhx.tracer import camera_rays, trace_rays_record
 
     h, w = cfg.height, cfg.width
-    img4 = np.zeros((h, w, 4), np.float32)
+    rec_np = np.zeros((h, w, 8), np.float32)
     start_band = 0
     n_bands = -(-h // band_rows)
     if checkpoint_path and os.path.exists(checkpoint_path):
         z = np.load(checkpoint_path)
         if tuple(z["shape"]) == (h, w) and int(z["band_rows"]) == band_rows:
-            img4 = z["img4"]
+            rec_np = z["rec"]
             start_band = int(z["next_band"])
 
     o, d = camera_rays(scene.camera, w, h)
 
     @partial(jax.jit, static_argnames=("cfg",))
     def trace_band(o, d, scene, cfg):
-        return trace_rays(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
+        return trace_rays_record(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
 
     for band in range(start_band, n_bands):
         y0 = band * band_rows
@@ -222,21 +244,19 @@ def render_tiled(
         s0 = min(y0, max(h - band_rows, 0))
         ob = o[s0:s0 + band_rows]
         db = d[s0:s0 + band_rows]
-        out = np.asarray(trace_band(ob, db, scene, cfg)).reshape(band_rows, w, 4)
-        img4[y0:y1] = out[band_rows - rows:]
+        out = np.asarray(trace_band(ob, db, scene, cfg)).reshape(band_rows, w, 8)
+        rec_np[y0:y1] = out[band_rows - rows:]
         if checkpoint_path:
             np.savez_compressed(
-                checkpoint_path + ".tmp.npz", img4=img4,
+                checkpoint_path + ".tmp.npz", rec=rec_np,
                 next_band=band + 1, shape=(h, w), band_rows=band_rows,
             )
             os.replace(checkpoint_path + ".tmp.npz", checkpoint_path)
         if verbose:
             print(f"band {band + 1}/{n_bands} done")
 
-    img4_j = jnp.asarray(img4)
-    rgb = sky_pass(img4_j, scene.sky_texture) if cfg.show_sky else jnp.where(
-        img4_j[..., 3:] == 0.0, 0.0, img4_j[..., :3]
-    )
+    rec = jnp.asarray(rec_np)
+    rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky)
     if cfg.bloom.enabled:
         rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
     if cfg.tonemap:

@@ -83,10 +83,10 @@ def camera_rays(camera, width: int, height: int) -> Tuple[jax.Array, jax.Array]:
     return o, d
 
 
-def _init_state(origins, directions):
+def _init_state(origins, directions, deferred: bool = False):
     n = origins.shape[0]
     f = jnp.float32
-    return dict(
+    state = dict(
         pos=origins.astype(f),
         dir=directions.astype(f),
         orig_dir=directions.astype(f),
@@ -104,6 +104,40 @@ def _init_state(origins, directions):
         # unused (zeros) in pseudo-Newtonian mode.
         mom=jnp.zeros((n, 3), f),
     )
+    if deferred:
+        # Pallas mode: nothing composites during the trace.  March phases
+        # accumulate crossing slots; straight phases record at most one
+        # opaque mesh hit; capture sets a flag.  One batched shade +
+        # composite runs at the end — exact, because a mesh hit absorbs the
+        # ray (no later crossings) and every recorded crossing precedes it.
+        from bhx.kernels.march_pallas import CROSS_FIELDS, MarchKernelConfig
+
+        K = MarchKernelConfig.max_crossings
+        state.update(
+            slots=jnp.zeros((n, K, CROSS_FIELDS), f),
+            count=jnp.zeros((n,), f),
+            mesh_color=jnp.zeros((n, 3), f),
+            mesh_hit=jnp.zeros((n,), bool),
+            horizon=jnp.zeros((n,), bool),
+            # Running transmission upper bound (the kernel's pow-free
+            # early-exit bound), carried across phases.
+            amount_ub=jnp.ones((n,), f),
+        )
+    return state
+
+
+def _merge_slots(slots_a, count_a, slots_b, count_b, K: int):
+    """Append slot list b after a's existing entries, preserving order:
+    merged[i] <- b[i - count_a] (O(K^2) selects, no gathers)."""
+    merged = slots_a
+    for i in range(K):
+        take = jnp.zeros_like(slots_b[:, 0])
+        for j in range(0, i + 1):
+            sel = (count_a == float(i - j))[:, None]
+            take = jnp.where(sel, slots_b[:, j], take)
+        keep = (count_a > float(i))[:, None] | (slots_a[:, i, 6] > 0.5)[:, None]
+        merged = merged.at[:, i].set(jnp.where(keep, merged[:, i], take))
+    return merged, jnp.clip(count_a + count_b, 0.0, float(K))
 
 
 def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
@@ -145,10 +179,24 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
     mesh_wins = mask & ~enters & mesh["hit"]
     escapes = mask & ~enters & ~mesh["hit"]
 
-    # Composite opaque mesh hit (reference ray.wgsl:571-576 with opacity 1).
-    add = state["amount"][:, None] * jnp.clip(mesh["color"], 0.0, 1.0)
-    color = jnp.where(mesh_wins[:, None], state["color"] + add, state["color"])
-    amount = jnp.where(mesh_wins, 0.0, state["amount"])
+    # Opaque mesh hit (reference ray.wgsl:571-576 with opacity 1).
+    if "mesh_hit" in state:
+        # Deferred compositing (pallas mode): record the hit; the final
+        # composite weights it by the transmission through all recorded
+        # disk crossings (all of which precede the hit on this ray).
+        color = state["color"]
+        amount = state["amount"]
+        extra = dict(
+            mesh_color=jnp.where(
+                mesh_wins[:, None], mesh["color"], state["mesh_color"]
+            ),
+            mesh_hit=state["mesh_hit"] | mesh_wins,
+        )
+    else:
+        add = state["amount"][:, None] * jnp.clip(mesh["color"], 0.0, 1.0)
+        color = jnp.where(mesh_wins[:, None], state["color"] + add, state["color"])
+        amount = jnp.where(mesh_wins, 0.0, state["amount"])
+        extra = {}
     hit = state["hit"] | mesh_wins
 
     # Advance entering rays to the boundary (no-op if already inside).
@@ -172,6 +220,7 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         closest=jnp.where(
             enters, jnp.linalg.norm(new_pos - bh.position, axis=-1), state["closest"]
         ),
+        **extra,
     )
     if cfg.geodesics == "kerr":
         from bhx import kerr
@@ -186,7 +235,7 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
 
 
 def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
-                        sparse: bool = False):
+                        sparse: bool = False, first_phase: bool = True):
     """Pallas-kernel march with multi-round compaction and deferred shading.
 
     The kernel marches a tile of 1024 rays until all its lanes finish —
@@ -256,7 +305,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         dir=padded(state["dir"]),
         h=padded(state["h"]),
         act=padded(was.astype(jnp.float32)),
-        amount_ub=padded(jnp.ones((n,), jnp.float32)),
+        amount_ub=padded(state["amount_ub"], fill=1.0),
         closest=padded(jnp.where(was, state["closest"], jnp.float32(1e9))),
         steps=padded(jnp.zeros((n,), jnp.float32)),
         horizon=padded(jnp.zeros((n,), jnp.float32)),
@@ -313,28 +362,21 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         horizon = jnp.maximum(work["horizon"], jnp.where(active, out[:, 8], 0.0))
         exited = jnp.maximum(work["exited"], jnp.where(active, out[:, 9], 0.0))
 
-        # Merge this round's crossing slots after the ray's existing ones:
-        # merged[i] <- round[i - count_prev]  (O(K^2) selects, no gathers).
+        # Merge this round's crossing slots after the ray's existing ones.
         slots = work["slots"]
         count = work["count"]
         if cfg.show_disk:
             round_slots = out[:, OUT_FIXED:].reshape(npad, K, CROSS_FIELDS)
             round_valid = (round_slots[:, :, 6] > 0.5) & active[:, None]
             round_slots = round_slots * round_valid[:, :, None]
+            round_count = round_valid.sum(-1).astype(jnp.float32)
             if first:
                 # No prior slots: this round's records ARE the slots.
-                slots = round_slots
+                slots, count = round_slots, jnp.clip(round_count, 0.0, float(K))
             else:
-                merged = slots
-                for i in range(K):
-                    take = jnp.zeros((npad, CROSS_FIELDS), jnp.float32)
-                    for j in range(0, i + 1):
-                        sel = (count == float(i - j))[:, None]
-                        take = jnp.where(sel, round_slots[:, j], take)
-                    keep = (count > float(i))[:, None] | (slots[:, i, 6] > 0.5)[:, None]
-                    merged = merged.at[:, i].set(jnp.where(keep, merged[:, i], take))
-                slots = merged
-            count = jnp.clip(count + round_valid.sum(-1), 0.0, float(K))
+                slots, count = _merge_slots(
+                    slots, count, round_slots, round_count, K
+                )
 
         still = (
             active
@@ -371,39 +413,25 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     work = {k: v[:n] for k, v in work.items()}
     was_f = was
 
-    # --- shade + composite all recorded crossings once, in slot order ---
-    color = state["color"]
-    amount = state["amount"]
+    # --- accumulate this phase's crossings into the deferred record; the
+    # single batched shade + composite runs once at the end of trace_rays ---
     hit = state["hit"]
+    slots_acc = state["slots"]
+    count_acc = state["count"]
     if cfg.show_disk:
-        # One batched shade over all (ray, slot) pairs: a single texture
-        # quad-pack + gather pass instead of K separate ones.
-        slots = work["slots"]  # (n, K, CROSS_FIELDS)
-        valid_nk = was_f[:, None] & (slots[:, :, 6] > 0.5)
-        cam_nk = jnp.broadcast_to(cam_dist[:, None], (n, K)).reshape(-1)
-        rgb_f, op_f = disk_shade(
-            slots[:, :, 0:3].reshape(-1, 3), slots[:, :, 3:6].reshape(-1, 3),
-            cam_nk, bh, rot_mat,
-            scene.disk_texture, scene.temp_lut, scene.time,
-            show_texture=cfg.show_disk_texture,
-            show_redshift=cfg.show_redshift,
-        )
-        rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
-        op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
-        # Front-to-back compositing in slot order (crossings were recorded
-        # in march order): transmission before slot k is the cumulative
-        # product of (1 - op) over earlier slots.
-        trans = jnp.cumprod(1.0 - op_nk, axis=1)
-        trans_before = jnp.concatenate(
-            [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1
-        )
-        contrib = (amount[:, None] * trans_before * op_nk)[..., None] * rgb_nk
-        color = color + contrib.sum(axis=1)
-        amount = amount * trans[:, -1]
-        hit = hit | jnp.any(valid_nk, axis=1)
+        phase_slots = jnp.where(was_f[:, None, None], work["slots"], 0.0)
+        phase_count = jnp.where(was_f, work["count"], 0.0)
+        if first_phase:
+            slots_acc, count_acc = phase_slots, phase_count
+        else:
+            slots_acc, count_acc = _merge_slots(
+                slots_acc, count_acc, phase_slots, phase_count, K
+            )
+        hit = hit | (phase_count > 0.5)
     horizon_b = was_f & (work["horizon"] > 0.5)
-    amount = jnp.where(horizon_b, 0.0, amount)
     hit = hit | horizon_b
+    amount_ub = jnp.where(was_f, work["amount_ub"], state["amount_ub"])
+    amount_ub = jnp.where(horizon_b, 0.0, amount_ub)
 
     # --- feather the exit direction (reference ray.wgsl:543-553) ---
     exited_b = was_f & (work["exited"] > 0.5)
@@ -414,7 +442,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     feathered = work["dir"] + (state["orig_dir"] - work["dir"]) * mix_amount
     direction = jnp.where(exited_b[:, None], feathered, work["dir"])
 
-    absorbed = was_f & (horizon_b | (amount < cfg.opacity_cutoff))
+    absorbed = was_f & (horizon_b | (amount_ub < cfg.opacity_cutoff))
     # Budget-capped rays (photon-sphere orbiters): neither exited nor
     # absorbed when the loop ends -> classified escaped with their current
     # direction, like the reference's loop falling through (ray.wgsl:595).
@@ -429,9 +457,11 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         pos=jnp.where(was_f[:, None], work["pos"], state["pos"]),
         dir=jnp.where(was_f[:, None], direction, state["dir"]),
         h=jnp.where(was_f, work["h"], state["h"]),
-        color=color,
-        amount=amount,
         hit=hit,
+        slots=slots_acc,
+        count=count_acc,
+        horizon=state["horizon"] | horizon_b,
+        amount_ub=amount_ub,
         closest=jnp.where(was_f, work["closest"], state["closest"]),
         march_steps=state["march_steps"]
         + jnp.where(was_f, work["steps"], 0.0).astype(jnp.int32),
@@ -441,13 +471,15 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
 
 def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
-                 sparse: bool = False):
+                 sparse: bool = False, first_phase: bool = True):
     """Masked geodesic march for rays with status 1 (reference inside
     branch, ray.wgsl:522-553)."""
     if cfg.march_mode in ("pallas", "pallas_interpret") and cfg.geodesics != "kerr":
         # The Pallas kernel implements the pseudo-Newtonian force; exact
         # Kerr (autodiff Hamiltonian) runs the jnp path below.
-        return _march_phase_pallas(state, scene, cfg, cam_dist, sparse=sparse)
+        return _march_phase_pallas(
+            state, scene, cfg, cam_dist, sparse=sparse, first_phase=first_phase
+        )
     bh = scene.black_hole
     rot_mat, disk_normal = bh.disk_frame()
 
@@ -590,23 +622,33 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
     return state
 
 
-def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
-               rounds: int = DEFAULT_ROUNDS, active=None):
-    """Trace a flat batch of rays. origins/directions: (N, 3).
+# Record layout produced by trace_rays_record: 8 channels per ray.
+REC_COLOR = slice(0, 3)   # composited color WITHOUT sky
+REC_ALPHA = 3             # 1 = final-color pixel, 0 = clean escape
+REC_AMOUNT = 4            # residual transmission (sky weight)
+REC_DIR = slice(5, 8)     # final ray direction (sky lookup / interpolation)
 
-    Returns (N, 4): rgb + the reference's alpha encoding — alpha 1 for rays
-    whose color is final (sky already composited into the residual
-    transmission), alpha 0 with rgb = escape direction for clean escapes
-    (consumed by the ladder interpolation and the sky pass).
+
+def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
+                      rounds: int = DEFAULT_ROUNDS, active=None):
+    """Trace a flat batch of rays to the sky-free record. (N, 3) -> (N, 8).
+
+    Record channels: [color(3), alpha, amount, dir(3)].  Sky is NOT
+    composited — callers apply ``finalize_sky``/``finalize_image`` exactly
+    once per frame (the reference samples sky per trace because GPU texture
+    units are free; on TPU each bilinear costs a gather, so the ladder
+    traces levels sky-free and one final pass touches the sky texture).
 
     ``active`` (optional bool (N,)): rays with False are dead lanes that
-    produce an escape encoding untouched; the Pallas march's compaction
+    produce an escape record untouched; the Pallas march's compaction
     squeezes them out, so the cost of a masked trace tracks the True count.
-    The ladder uses this for its sparse retrace (callers discard the masked
-    outputs).
     """
     bh = scene.black_hole
-    state = _init_state(origins, directions)
+    deferred = (
+        cfg.march_mode in ("pallas", "pallas_interpret")
+        and cfg.geodesics != "kerr"
+    )
+    state = _init_state(origins, directions, deferred=deferred)
     if active is not None:
         state["status"] = jnp.where(active, state["status"], jnp.int32(2))
     cam_dist = jnp.linalg.norm(origins - bh.position, axis=-1)
@@ -616,11 +658,17 @@ def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
         state = _march_phase(
             state, scene, cfg, cam_dist,
             sparse=(active is not None) or r > 0,
+            first_phase=(r == 0),
         )
     # Rays still wanting a straight phase after the last march get it once
     # more; any that would re-enter yet again are treated as escapes.
     state = _straight_phase(state, scene, cfg, cam_dist)
     state["status"] = jnp.where(state["status"] == 1, jnp.int32(2), state["status"])
+
+    if deferred:
+        color, amount = _shade_deferred(state, scene, cfg, cam_dist)
+    else:
+        color, amount = state["color"], state["amount"]
 
     # Classification (reference ray.wgsl:583-595): final-color pixels are
     # those that composited something, plus near-trivial marches (i <= 5);
@@ -628,17 +676,100 @@ def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
     total_iters = state["march_steps"] + state["entered"].astype(jnp.int32)
     few = total_iters <= cfg.few_iters_threshold
     final_alpha1 = state["hit"] | few
-    escape = ~final_alpha1
+    alpha = jnp.where(final_alpha1, 1.0, 0.0)
 
-    color = state["color"]
-    if cfg.show_sky:
-        sky = sample_sky(scene.sky_texture, state["dir"])
-        add_sky = final_alpha1 & (state["amount"] > 0.001)
-        color = jnp.where(add_sky[:, None], color + state["amount"][:, None] * sky, color)
+    return jnp.concatenate(
+        [color, alpha[:, None], amount[:, None], state["dir"]], axis=-1
+    )
 
-    rgb = jnp.where(escape[:, None], state["dir"], color)
-    alpha = jnp.where(escape, 0.0, 1.0)
-    return jnp.concatenate([rgb, alpha[:, None]], axis=-1)
+
+def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
+    """One batched shade + composite of the deferred record: disk crossing
+    slots (front-to-back via cumprod), then the opaque mesh hit, then
+    horizon capture."""
+    bh = scene.black_hole
+    rot_mat, _ = bh.disk_frame()
+    n = state["pos"].shape[0]
+    color = jnp.zeros((n, 3), jnp.float32)
+    trans_total = jnp.ones((n,), jnp.float32)
+    if cfg.show_disk:
+        slots = state["slots"]  # (n, K, CROSS_FIELDS)
+        K = slots.shape[1]
+        valid_nk = slots[:, :, 6] > 0.5
+        cam_nk = jnp.broadcast_to(cam_dist[:, None], (n, K)).reshape(-1)
+        rgb_f, op_f = disk_shade(
+            slots[:, :, 0:3].reshape(-1, 3), slots[:, :, 3:6].reshape(-1, 3),
+            cam_nk, bh, rot_mat,
+            scene.disk_texture, scene.temp_lut, scene.time,
+            show_texture=cfg.show_disk_texture,
+            show_redshift=cfg.show_redshift,
+        )
+        rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
+        op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
+        trans = jnp.cumprod(1.0 - op_nk, axis=1)
+        trans_before = jnp.concatenate(
+            [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1
+        )
+        contrib = (trans_before * op_nk)[..., None] * rgb_nk
+        color = contrib.sum(axis=1)
+        trans_total = trans[:, -1]
+    # Opaque mesh hit: weighted by the transmission through every recorded
+    # crossing (all of which precede it on the ray).
+    mesh_add = trans_total[:, None] * jnp.clip(state["mesh_color"], 0.0, 1.0)
+    color = jnp.where(state["mesh_hit"][:, None], color + mesh_add, color)
+    amount = jnp.where(
+        state["mesh_hit"] | state["horizon"], 0.0, trans_total
+    )
+    return color, amount
+
+
+def finalize_sky(record, sky_tex, show_sky: bool = True):
+    """Public alpha-encoded output from a record: (N, 8) -> (N, 4).
+
+    Final pixels get sky composited into their residual transmission
+    (reference ray.wgsl:587-592, with its amount > 0.001 guard); escapes
+    return (direction, 0) for the sky pass / ladder interpolation.
+    """
+    escape = record[..., REC_ALPHA] == 0.0
+    color = record[..., REC_COLOR]
+    if show_sky:
+        amount = record[..., REC_AMOUNT]
+        sky = sample_sky(sky_tex, record[..., REC_DIR])
+        w = jnp.where(amount > 0.001, amount, 0.0)
+        color = color + w[..., None] * sky
+    rgb = jnp.where(escape[..., None], record[..., REC_DIR], color)
+    return jnp.concatenate(
+        [rgb, record[..., REC_ALPHA:REC_ALPHA + 1]], axis=-1
+    )
+
+
+def finalize_image(record, sky_tex, show_sky: bool = True):
+    """Final rgb from a record: (..., 8) -> (..., 3), sky sampled once.
+
+    Unifies the reference's in-trace sky compositing (hit pixels) and sky
+    pass (escape pixels): escapes carry color 0 / amount 1, so
+    ``color + amount * sky(dir)`` is exact for both.
+    """
+    color = record[..., REC_COLOR]
+    if not show_sky:
+        return color
+    amount = record[..., REC_AMOUNT]
+    sky = sample_sky(sky_tex, record[..., REC_DIR])
+    w = jnp.where(amount > 0.001, amount, 0.0)
+    return color + w[..., None] * sky
+
+
+def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
+               rounds: int = DEFAULT_ROUNDS, active=None):
+    """Trace a flat batch of rays. origins/directions: (N, 3).
+
+    Returns (N, 4): rgb + the reference's alpha encoding — alpha 1 for rays
+    whose color is final (sky already composited into the residual
+    transmission), alpha 0 with rgb = escape direction for clean escapes
+    (consumed by the ladder interpolation and the sky pass).
+    """
+    rec = trace_rays_record(origins, directions, scene, cfg, rounds, active)
+    return finalize_sky(rec, scene.sky_texture, cfg.show_sky)
 
 
 def trace_image(scene: Scene, cfg: RenderConfig, width: int, height: int,
@@ -647,3 +778,13 @@ def trace_image(scene: Scene, cfg: RenderConfig, width: int, height: int,
     o, d = camera_rays(scene.camera, width, height)
     out = trace_rays(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg, rounds)
     return out.reshape(height, width, 4)
+
+
+def trace_image_record(scene: Scene, cfg: RenderConfig, width: int,
+                       height: int, rounds: int = DEFAULT_ROUNDS):
+    """Dense sky-free record image: (height, width, 8)."""
+    o, d = camera_rays(scene.camera, width, height)
+    out = trace_rays_record(
+        o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg, rounds
+    )
+    return out.reshape(height, width, 8)

@@ -18,7 +18,7 @@ from bhx.parallel import (
     trace_image_sharded,
     train_step,
 )
-from bhx.tracer import trace_image
+from bhx.tracer import trace_image_record
 
 from tests.common import DIFF_CFG, FAST_CFG, small_scene
 
@@ -35,7 +35,7 @@ def test_sharded_trace_matches_single_device():
     img_sharded = np.asarray(
         trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
     )
-    img_single = np.asarray(trace_image(scene, cfg, cfg.width, cfg.height))
+    img_single = np.asarray(trace_image_record(scene, cfg, cfg.width, cfg.height))
     np.testing.assert_allclose(img_sharded, img_single, atol=2e-4)
 
 
@@ -46,8 +46,8 @@ def test_sharded_trace_handles_ragged_rows():
     img_sharded = np.asarray(
         trace_image_sharded(scene, cfg, mesh, cfg.width, cfg.height)
     )
-    assert img_sharded.shape == (37, 48, 4)
-    img_single = np.asarray(trace_image(scene, cfg, cfg.width, cfg.height))
+    assert img_sharded.shape == (37, 48, 8)
+    img_single = np.asarray(trace_image_record(scene, cfg, cfg.width, cfg.height))
     np.testing.assert_allclose(img_sharded, img_single, atol=2e-4)
 
 

@@ -130,10 +130,12 @@ def test_ladder_matches_dense_on_exact_pixels():
     """Ladder exact-copy pixels must equal the dense render of the coarse
     level (the compaction/scatter machinery must not corrupt them)."""
     scene = small_scene()
-    img = np.asarray(ladder_trace(scene, LADDER_CFG))
+    img = np.asarray(ladder_trace(scene, LADDER_CFG))  # (H, W, 8) record
     lad = LADDER_CFG.ladder_for_output()
     w0, h0 = lad.resolution(0)
-    coarse = np.asarray(trace_image(scene, LADDER_CFG, w0, h0))
+    from bhx.tracer import trace_image_record
+
+    coarse = np.asarray(trace_image_record(scene, LADDER_CFG, w0, h0))
     m = lad.multiplier ** (lad.levels - 1)
     np.testing.assert_allclose(img[::m, ::m], coarse, atol=2e-3)
 
