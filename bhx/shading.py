@@ -84,14 +84,20 @@ def _quad_pack(tex, wrap: bool):
 
 
 def sample_bilinear_fast(tex, u, v, wrap: bool = False):
-    """Bilinear sample via quad-packed texture: ONE gather row per sample.
+    """Bilinear sample via quad-packed texture and per-channel 1D gathers.
 
     Same math and addressing as :func:`sample_bilinear` (texel centers at
-    (i + 0.5)/size, clamp or repeat), restructured for the TPU's
-    row-granular gather cost.
+    (i + 0.5)/size, clamp or repeat), restructured for TPU memory layout:
+    one shared index computation, then 4*C gathers from *flat 1D planes*.
+    A row gather into (N, 2, 2, C) tiles the trailing C=3/4 dim to 128
+    lanes (42x HBM expansion — at 1080p with 4 disk-crossing slots that is
+    a 15.8 GB temp and an OOM); 1D gathers use T(1024) layout with zero
+    padding and fuse into the weighted-sum consumer.
     """
     h, w = tex.shape[0], tex.shape[1]
+    c = tex.shape[2]
     flat, k2, j2 = _quad_pack(tex, wrap)
+    planes = flat.reshape(-1, 4 * c)  # (M, 4C): [(dy*2+dx)*C + ch]
     x = u * w - 0.5
     y = v * h - 0.5
     x0 = jnp.floor(x)
@@ -100,13 +106,26 @@ def sample_bilinear_fast(tex, u, v, wrap: bool = False):
     fy = (y - y0)[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x0i = x0i % w if wrap else jnp.clip(x0i, 0, w - 1)
-    y0i = y0i % h if wrap else jnp.clip(y0i, 0, h - 1)
+    if wrap:
+        x0i = x0i % w
+        y0i = y0i % h
+    else:
+        # Clamp-to-edge: when x0 < 0 both corners are texel 0, but the quad
+        # at clipped x0=0 holds texels (0, 1) — zero the fraction so the
+        # sample degenerates to the edge texel (matches sample_bilinear).
+        fx = jnp.where((x0 < 0)[..., None], 0.0, fx)
+        fy = jnp.where((y0 < 0)[..., None], 0.0, fy)
+        x0i = jnp.clip(x0i, 0, w - 1)
+        y0i = jnp.clip(y0i, 0, h - 1)
     variant = (y0i & 1) * 2 + (x0i & 1)
     idx = (variant * k2 + (y0i >> 1)) * j2 + (x0i >> 1)
-    q = flat[idx]  # (..., 2, 2, C)
-    top = q[..., 0, 0, :] * (1 - fx) + q[..., 0, 1, :] * fx
-    bot = q[..., 1, 0, :] * (1 - fx) + q[..., 1, 1, :] * fx
+
+    def corner(dy: int, dx: int):
+        chans = [planes[:, (dy * 2 + dx) * c + ch][idx] for ch in range(c)]
+        return jnp.stack(chans, axis=-1)
+
+    top = corner(0, 0) * (1 - fx) + corner(0, 1) * fx
+    bot = corner(1, 0) * (1 - fx) + corner(1, 1) * fx
     return top * (1 - fy) + bot * fy
 
 
