@@ -40,95 +40,35 @@ def _cached(name: str, fn):
 
 
 # ---------------------------------------------------------------------------
-# Perlin noise (vectorized hash-gradient, quintic fade)
+# Perlin noise — shared sampler (bhx.procedural, evaluated with xp=numpy)
 # ---------------------------------------------------------------------------
 
 
-def _hash_gradient(ix: np.ndarray, iy: np.ndarray):
-    """Deterministic lattice gradients from a 2x32-bit integer mix.
-
-    Same *style* as the reference's rotate-multiply hash
-    (perlin/src/main.rs:6-27) but an independent constant set; output is a
-    unit 2-vector per lattice point.
-    """
-    a = ix.astype(np.uint32)
-    b = iy.astype(np.uint32)
-    a = a * np.uint32(0x9E3779B1)
-    b ^= (a << np.uint32(16)) | (a >> np.uint32(16))
-    b = b * np.uint32(0x85EBCA77)
-    a ^= (b << np.uint32(16)) | (b >> np.uint32(16))
-    a = a * np.uint32(0xC2B2AE3D)
-    angle = a.astype(np.float64) * (2.0 * np.pi / 4294967296.0)
-    return np.cos(angle), np.sin(angle)
-
-
-def _fade(t):
-    return ((t * 6.0 - 15.0) * t + 10.0) * t * t * t
-
-
 def perlin(x: np.ndarray, y: np.ndarray) -> np.ndarray:
-    """Perlin noise in [0, 1] at coordinates (x, y) (vectorized)."""
-    x0 = np.floor(x)
-    y0 = np.floor(y)
-    sx = x - x0
-    sy = y - y0
-    x0i = x0.astype(np.int64)
-    y0i = y0.astype(np.int64)
+    """Perlin noise in [0, 1] (the same hash-gradient sampler the renderer
+    evaluates per-sample in procedural mode)."""
+    from bhx import procedural
 
-    def grad_dot(ix, iy):
-        gx, gy = _hash_gradient(ix, iy)
-        return (x - ix) * gx + (y - iy) * gy
-
-    n00 = grad_dot(x0i, y0i)
-    n10 = grad_dot(x0i + 1, y0i)
-    n01 = grad_dot(x0i, y0i + 1)
-    n11 = grad_dot(x0i + 1, y0i + 1)
-    u = _fade(sx)
-    v = _fade(sy)
-    nx0 = n00 + (n10 - n00) * u
-    nx1 = n01 + (n11 - n01) * u
-    val = nx0 + (nx1 - nx0) * v
-    return val * 0.5 + 0.5
-
-
-def _spiral_warp(img: np.ndarray, amount: float = 2.0, power: float = 0.5):
-    """Polar spiral warp theta += r^power * pi * amount
-    (reference perlin/src/main.rs:78-107)."""
-    h, w = img.shape[:2]
-    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    rx = (xs / w) * 2.0 - 1.0
-    ry = (ys / h) * 2.0 - 1.0
-    r = np.sqrt(rx * rx + ry * ry)
-    theta = np.arctan2(ry, rx)
-    theta = np.mod(theta + np.pi + (r ** power) * np.pi * amount, 2.0 * np.pi) - np.pi
-    sx = ((r * np.cos(theta) * 0.5 + 0.5) * w).astype(np.int64) % w
-    sy = ((r * np.sin(theta) * 0.5 + 0.5) * h).astype(np.int64) % h
-    return img[sy, sx]
+    return procedural.perlin(np.asarray(x, np.float32), np.asarray(y, np.float32), xp=np)
 
 
 def disk_texture(size: int = 512) -> np.ndarray:
     """Accretion disk RGBA texture in [0,1], shape (size, size, 4).
 
-    Pipeline mirrors perlin/src/main.rs:133-148: octaves at densities
-    4/20/50/100 (relative to a 1000px canvas), each spiral-warped
-    (amount=2, power=0.5), merged 50/50 cascade from fine to coarse.
+    Baked by evaluating bhx.procedural.disk_sample at texel centers, so
+    texture_mode="array" agrees with the gather-free "procedural" path up
+    to bilinear resampling.  (Pipeline provenance: perlin tool
+    perlin/src/main.rs:133-148 — 4 spiral-warped octaves, 50/50 cascade.)
     """
 
     def gen():
-        ys, xs = np.meshgrid(np.arange(size), np.arange(size), indexing="ij")
-        octaves = []
-        for density in (4, 20, 50, 100):
-            d = density / size
-            layer = perlin(xs * d, ys * d)
-            octaves.append(_spiral_warp(layer, 2.0, 0.5))
-        m = octaves[3]
-        m = 0.5 * m + 0.5 * octaves[2]
-        m = 0.5 * m + 0.5 * octaves[1]
-        m = 0.5 * m + 0.5 * octaves[0]
-        rgba = np.repeat(m[..., None], 4, axis=-1)
-        return rgba.astype(np.float32)
+        from bhx import procedural
 
-    return _cached(f"disk_{size}", gen)
+        c = (np.arange(size, dtype=np.float32) + 0.5) / size
+        u, v = np.meshgrid(c, c, indexing="xy")
+        return procedural.disk_sample(u, v, xp=np).astype(np.float32)
+
+    return _cached(f"disk_v2_{size}", gen)
 
 
 # ---------------------------------------------------------------------------
@@ -212,47 +152,25 @@ def sky_texture(width: int = 2048, height: int = 1024, num_stars: int = 6000,
                 seed: int = 7) -> np.ndarray:
     """Equirect star-field + nebula texture, shape (height, width, 3).
 
-    Values are pre-compensated for the renderer's ``sky^4`` transfer
-    (sky.wgsl:25): a pixel stored at s renders as s^4, so stars are stored
-    at brightness^(1/4) to survive the curve.
+    Baked from bhx.procedural.sky_radiance (cell-hash star grid + perlin
+    nebula) at texel centers; values store radiance^(1/4) because the
+    renderer applies the reference's ``sky^4`` transfer (sky.wgsl:25).
+    ``num_stars``/``seed`` are legacy knobs kept for cache-key stability of
+    small test textures; the star layout is fully determined by the grid
+    hash.
     """
 
     def gen():
-        rng = np.random.default_rng(seed)
-        img = np.zeros((height, width, 3), np.float32)
+        from bhx import procedural
 
-        # Nebula: low-frequency perlin tinted blue/purple.
-        ys, xs = np.meshgrid(np.arange(height), np.arange(width), indexing="ij")
-        neb = (
-            perlin(xs * (6.0 / width), ys * (3.0 / height)) * 0.6
-            + perlin(xs * (24.0 / width) + 91.0, ys * (12.0 / height) + 17.0) * 0.4
-        )
-        neb = np.clip(neb - 0.35, 0.0, None) * 0.9
-        img += neb[..., None] * np.array([0.45, 0.35, 0.65], np.float32)
-
-        # Stars: uniform directions (area-correct in equirect), blackbody
-        # colors, power-law brightness, splatted with a tiny Gaussian.
-        u = rng.random(num_stars)
-        v = rng.random(num_stars)
-        px = (u * width).astype(np.int64)
-        # Uniform on the sphere: v = (cos(theta)+1)/2 -> row weight sin(theta)
-        py = ((np.arccos(2 * v - 1) / np.pi) * height).astype(np.int64) % height
-        brightness = (rng.random(num_stars) ** 8.0) * 1.4 + 0.05
-        temps = rng.uniform(3000.0, 12000.0, num_stars)
-        colors = planck_rgb(temps).astype(np.float32)
-
-        offsets = [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
-        for dy, dx in offsets:
-            w_k = np.exp(-0.5 * (dx * dx + dy * dy) / 0.45)
-            rows = (py + dy) % height
-            cols = (px + dx) % width
-            np.add.at(img, (rows, cols), (brightness * w_k)[:, None] * colors)
-
-        # Compensate the ^4 transfer and clamp.
-        img = np.clip(img, 0.0, 4.0) ** 0.25
+        us = (np.arange(width, dtype=np.float32) + 0.5) / width
+        vs = (np.arange(height, dtype=np.float32) + 0.5) / height
+        u, v = np.meshgrid(us, vs, indexing="xy")
+        rad = procedural.sky_radiance(u, v, xp=np)
+        img = np.clip(rad, 0.0, 4.0) ** 0.25
         return np.clip(img, 0.0, 1.0).astype(np.float32)
 
-    return _cached(f"sky_{width}x{height}_{num_stars}_{seed}", gen)
+    return _cached(f"sky_v2_{width}x{height}", gen)
 
 
 def clear_cache() -> None:

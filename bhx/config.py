@@ -172,6 +172,11 @@ class RenderConfig:
     show_redshift: bool = True
     show_sky: bool = True
     render_meshes: bool = True
+    # "procedural": evaluate disk texture / sky / blackbody tint
+    # arithmetically per sample (bhx.procedural) — gather-free, the TPU
+    # default.  "array": bilinear-sample the scene's texture arrays
+    # (user-supplied content; required for gradients w.r.t. the textures).
+    texture_mode: str = "procedural"
 
     # Early-exit opacity threshold (reference ray.wgsl:578).
     opacity_cutoff: float = 0.005
@@ -203,6 +208,12 @@ class RenderConfig:
     # Steps between the kernel's all-lanes-done votes (budget-capped rays
     # may overrun by up to this many steps; see march_pallas.VOTE_EVERY).
     pallas_vote_every: int = 32
+    # Kernel tile shape: (pallas_sublanes, 128) lanes per field.  Bigger
+    # tiles give Mosaic more independent chains to pipeline; early exit
+    # coarsens to tile granularity (compaction rounds absorb that).
+    pallas_sublanes: int = 8
+    # Integration substeps unrolled per kernel inner-loop iteration.
+    pallas_unroll: int = 4
     dtype: str = "float32"
 
     def ladder_for_output(self) -> LadderConfig:

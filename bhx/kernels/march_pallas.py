@@ -95,7 +95,18 @@ class MarchKernelConfig:
     tex_opacity_min: float = 0.7
     show_disk: bool = True
     vote_every: int = VOTE_EVERY
+    # Sublane rows per tile: a tile is (sublanes, 128) lanes per field, so
+    # each vector op covers sublanes/8 VPU registers — bigger tiles give
+    # Mosaic independent chains to pipeline, at coarser early-exit
+    # granularity (compaction rounds absorb that).
+    sublanes: int = 8
+    # Integration substeps unrolled per inner-loop iteration.
+    unroll: int = UNROLL
     interpret: bool = False
+
+    @property
+    def lanes(self) -> int:
+        return self.sublanes * 128
 
 
 def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
@@ -342,11 +353,11 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
             count=count, it=s["it"] + 1,
         )
 
-    inner_iters = max(1, kcfg.vote_every // UNROLL)
+    inner_iters = max(1, kcfg.vote_every // kcfg.unroll)
 
     def body(s):
         def inner(_, ss):
-            for _ in range(UNROLL):
+            for _ in range(kcfg.unroll):
                 ss = substep(ss)
             return ss
 
@@ -375,16 +386,18 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
     """Run the march kernel.
 
     rays: (N, IN_FIELDS) float32 — px, py, pz, dx, dy, dz, h0, active,
-    amount, steps_done — N a multiple of 1024.  params: (NUM_PARAMS,)
+    amount, steps_done — N a multiple of kcfg.lanes.  params: (NUM_PARAMS,)
     float32 per _P.
     Returns (N, OUT_FIXED + 7K) float32.
     """
     n = rays.shape[0]
-    assert n % LANES == 0, f"ray count {n} not a multiple of {LANES}"
-    tiles = n // LANES
+    lanes = kcfg.lanes
+    s8 = kcfg.sublanes
+    assert n % lanes == 0, f"ray count {n} not a multiple of {lanes}"
+    tiles = n // lanes
     fout = OUT_FIXED + CROSS_FIELDS * kcfg.max_crossings
 
-    rays_t = rays.reshape(tiles, 8, 128, IN_FIELDS).transpose(0, 3, 1, 2)
+    rays_t = rays.reshape(tiles, s8, 128, IN_FIELDS).transpose(0, 3, 1, 2)
     params2 = params.reshape(1, NUM_PARAMS)
 
     out = pl.pallas_call(
@@ -393,12 +406,12 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, IN_FIELDS, 8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, IN_FIELDS, s8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, fout, 8, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, fout, s8, 128), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, fout, 8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tiles, fout, s8, 128), jnp.float32),
         interpret=kcfg.interpret,
     )(params2, rays_t)
 

@@ -98,7 +98,7 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None)
 
     @partial(jax.jit, static_argnames=("cfg",))
     def post(rec, scene, cfg):
-        rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky)
+        rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky, cfg.texture_mode)
         if cfg.bloom.enabled:
             rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
         if cfg.tonemap:

@@ -38,11 +38,11 @@ from bhx.tracer import (
 )
 
 
-def sky_pass(img4, sky_tex):
+def sky_pass(img4, sky_tex, texture_mode: str = "array"):
     """Convert escape-encoded pixels (alpha 0, rgb = direction) to sky
     color; pass hit pixels through (reference sky.wgsl:17-29)."""
     alpha = img4[..., 3]
-    sky = sample_sky(sky_tex, img4[..., :3])
+    sky = sample_sky(sky_tex, img4[..., :3], texture_mode)
     rgb = jnp.where(alpha[..., None] == 0.0, sky, img4[..., :3])
     return rgb
 
@@ -172,7 +172,7 @@ def render(scene: Scene, cfg: RenderConfig = RenderConfig()):
 
     # ONE sky pass for the whole frame (hit pixels' residual transmission
     # and escapes' full sky in the same formula).
-    rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky)
+    rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky, cfg.texture_mode)
 
     if cfg.bloom.enabled:
         bloom = bloom_chain(rgb, cfg.bloom)
@@ -256,7 +256,7 @@ def render_tiled(
             print(f"band {band + 1}/{n_bands} done")
 
     rec = jnp.asarray(rec_np)
-    rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky)
+    rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky, cfg.texture_mode)
     if cfg.bloom.enabled:
         rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
     if cfg.tonemap:

@@ -150,9 +150,18 @@ def sky_uv(direction):
     return u, v
 
 
-def sample_sky(sky_tex, direction):
-    """Sky radiance for an escape direction: bilinear sample then ^4
-    (reference sky.wgsl:23-26)."""
+def sample_sky(sky_tex, direction, texture_mode: str = "array"):
+    """Sky radiance for an escape direction.
+
+    "array": bilinear sample of the stored radiance^(1/4) texture, then ^4
+    (reference sky.wgsl:23-26).  "procedural": evaluate the star-grid +
+    nebula radiance arithmetically (bhx.procedural) — no gathers, the
+    default hot path on TPU.
+    """
+    if texture_mode == "procedural":
+        from bhx.procedural import sky_radiance_dir
+
+        return sky_radiance_dir(direction)
     u, v = sky_uv(direction)
     rgb = sample_bilinear_fast(sky_tex, u, v, wrap=True)[..., :3]
     return rgb ** 4
@@ -169,6 +178,7 @@ def disk_shade(
     time,
     show_texture: bool = True,
     show_redshift: bool = True,
+    texture_mode: str = "array",
 ):
     """Color and opacity of an accretion-disk crossing.
 
@@ -207,7 +217,12 @@ def disk_shade(
         spun = angle + time * bh.rotation_speed
         u = (jnp.sin(spun) * r_norm + 1.0) * 0.5
         v = (jnp.cos(spun) * r_norm + 1.0) * 0.5
-        texel = sample_bilinear_fast(disk_texture, u, v, wrap=False)
+        if texture_mode == "procedural":
+            from bhx.procedural import disk_sample
+
+            texel = disk_sample(u, v)
+        else:
+            texel = sample_bilinear_fast(disk_texture, u, v, wrap=False)
         opacity = opacity * jnp.clip(0.7 + texel[..., 3] * 0.5, 0.0, 1.0)
         color = color * texel[..., :3] * texel[..., 3:4]
 
@@ -232,7 +247,14 @@ def disk_shade(
             )
         )
         shift = jnp.clip(grav * doppler, 0.0, 1.0) ** 2
-        tint = sample_bilinear_fast(temp_lut, shift, jnp.broadcast_to(y, shift.shape))
+        if texture_mode == "procedural":
+            from bhx.procedural import blackbody_tint
+
+            tint = blackbody_tint(shift)
+        else:
+            tint = sample_bilinear_fast(
+                temp_lut, shift, jnp.broadcast_to(y, shift.shape)
+            )
         color = color * tint[..., :3]
 
     return color, opacity

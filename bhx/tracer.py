@@ -259,7 +259,6 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     """
     from bhx.kernels.march_pallas import (
         CROSS_FIELDS,
-        LANES,
         MarchKernelConfig,
         OUT_FIXED,
         march_pallas,
@@ -269,8 +268,6 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     bh = scene.black_hole
     rot_mat, disk_normal = bh.disk_frame()
     n = state["pos"].shape[0]
-    pad = (-n) % LANES
-    npad = n + pad
     K = MarchKernelConfig.max_crossings
 
     round_steps = max(1, min(int(cfg.pallas_round_steps), cfg.max_iterations))
@@ -284,8 +281,12 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
         show_disk=cfg.show_disk,
         vote_every=cfg.pallas_vote_every,
+        sublanes=cfg.pallas_sublanes,
+        unroll=cfg.pallas_unroll,
         interpret=cfg.march_mode == "pallas_interpret",
     )
+    pad = (-n) % kcfg.lanes
+    npad = n + pad
 
     params = pack_params(bh, disk_normal, cfg)
 
@@ -550,6 +551,7 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
                 scene.disk_texture, scene.temp_lut, scene.time,
                 show_texture=cfg.show_disk_texture,
                 show_redshift=cfg.show_redshift,
+                texture_mode=cfg.texture_mode,
             )
         else:
             t_dk = jnp.full_like(t_h, MISS_T)
@@ -703,6 +705,7 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
             scene.disk_texture, scene.temp_lut, scene.time,
             show_texture=cfg.show_disk_texture,
             show_redshift=cfg.show_redshift,
+            texture_mode=cfg.texture_mode,
         )
         rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
         op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
@@ -723,7 +726,8 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
     return color, amount
 
 
-def finalize_sky(record, sky_tex, show_sky: bool = True):
+def finalize_sky(record, sky_tex, show_sky: bool = True,
+                 texture_mode: str = "array"):
     """Public alpha-encoded output from a record: (N, 8) -> (N, 4).
 
     Final pixels get sky composited into their residual transmission
@@ -734,7 +738,7 @@ def finalize_sky(record, sky_tex, show_sky: bool = True):
     color = record[..., REC_COLOR]
     if show_sky:
         amount = record[..., REC_AMOUNT]
-        sky = sample_sky(sky_tex, record[..., REC_DIR])
+        sky = sample_sky(sky_tex, record[..., REC_DIR], texture_mode)
         w = jnp.where(amount > 0.001, amount, 0.0)
         color = color + w[..., None] * sky
     rgb = jnp.where(escape[..., None], record[..., REC_DIR], color)
@@ -743,7 +747,8 @@ def finalize_sky(record, sky_tex, show_sky: bool = True):
     )
 
 
-def finalize_image(record, sky_tex, show_sky: bool = True):
+def finalize_image(record, sky_tex, show_sky: bool = True,
+                   texture_mode: str = "array"):
     """Final rgb from a record: (..., 8) -> (..., 3), sky sampled once.
 
     Unifies the reference's in-trace sky compositing (hit pixels) and sky
@@ -754,7 +759,7 @@ def finalize_image(record, sky_tex, show_sky: bool = True):
     if not show_sky:
         return color
     amount = record[..., REC_AMOUNT]
-    sky = sample_sky(sky_tex, record[..., REC_DIR])
+    sky = sample_sky(sky_tex, record[..., REC_DIR], texture_mode)
     w = jnp.where(amount > 0.001, amount, 0.0)
     return color + w[..., None] * sky
 
@@ -769,7 +774,7 @@ def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,
     (consumed by the ladder interpolation and the sky pass).
     """
     rec = trace_rays_record(origins, directions, scene, cfg, rounds, active)
-    return finalize_sky(rec, scene.sky_texture, cfg.show_sky)
+    return finalize_sky(rec, scene.sky_texture, cfg.show_sky, cfg.texture_mode)
 
 
 def trace_image(scene: Scene, cfg: RenderConfig, width: int, height: int,
