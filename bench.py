@@ -12,9 +12,10 @@ import sys
 
 
 def main() -> int:
-    from bhx.bench import run_bench
+    from bhx.bench import parity_check, run_bench
 
     result = run_bench(width=1918, height=1081, iters=5)
+    parity = parity_check()
     out = {
         "metric": result["metric"],
         "value": result["value"],
@@ -23,7 +24,8 @@ def main() -> int:
         "detail": {
             k: result[k]
             for k in ("best_s", "mean_s", "compile_s", "devices", "device_kind")
-        },
+        }
+        | parity,
     }
     print(json.dumps(out))
     return 0

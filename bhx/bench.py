@@ -37,20 +37,32 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
     def checksum(img):
         return jnp.sum(img)
 
-    times = []
-    compile_s = None
-    for i in range(warmup + iters):
-        s = dataclasses.replace(scene, time=jnp.float32(0.1 * i))
+    # block_until_ready does not actually block on the tunneled TPU
+    # platform; completion is forced by materializing a scalar checksum on
+    # the host.  That round trip costs ~25 ms, so frames are timed in one
+    # enqueued batch with a single final sync and the measured sync latency
+    # is subtracted (scripts/bisect_dense.py documents the methodology).
+    def run_batch(count, t_base):
         t0 = time.perf_counter()
-        img = render_jit(s, cfg)
-        # block_until_ready is not reliable on the tunneled TPU platform —
-        # force completion by materializing a scalar checksum on the host.
+        img = None
+        for i in range(count):
+            s = dataclasses.replace(scene, time=jnp.float32(t_base + 0.1 * i))
+            img = render_jit(s, cfg)
         float(checksum(img))
-        dt = time.perf_counter() - t0
-        if i == 0:
-            compile_s = dt
-        if i >= warmup:
-            times.append(dt)
+        return time.perf_counter() - t0
+
+    float(checksum(jnp.zeros((8, 128))))  # compile the checksum
+    t0 = time.perf_counter()
+    float(checksum(jnp.zeros((8, 128))))
+    sync_lat = time.perf_counter() - t0
+
+    compile_s = run_batch(1, 0.0)  # first call = compile
+    for i in range(warmup):
+        run_batch(1, 1.0 + 0.1 * i)
+    times = [
+        max(run_batch(iters, 2.0 + i) - sync_lat, 1e-9) / iters
+        for i in range(3)
+    ]
 
     best = min(times)
     rays = width * height
@@ -67,4 +79,35 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
         "dense": dense,
         "resolution": [width, height],
         "vs_baseline": round(mrays / 50.0, 3),
+    }
+
+
+def parity_check(width: int = 192, height: int = 108,
+                 atol: float = 2e-2, max_bad_frac: float = 0.02) -> Dict:
+    """On-chip numerics gate: the pallas kernel pipeline must reproduce the
+    jnp reference pipeline (same scene, dense trace) up to tile-exit
+    ordering noise.  Complements the CPU interpret-mode parity tests
+    (tests/test_pallas.py), which never touch real Mosaic codegen.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from bhx.config import BloomConfig, FxaaConfig, RenderConfig
+    from bhx.pipeline import render_jit
+    from bhx.scene import Scene
+
+    scene = Scene.default()
+    base = RenderConfig(
+        width=width, height=height, use_ladder=False, max_iterations=600,
+        fxaa=FxaaConfig(enabled=False), bloom=BloomConfig(enabled=False),
+        tonemap=False,
+    )
+    img_pl = np.asarray(render_jit(scene, base.replace(march_mode="pallas")))
+    img_jnp = np.asarray(render_jit(scene, base.replace(march_mode="fast")))
+    bad = float((np.abs(img_pl - img_jnp) > atol).any(-1).mean())
+    finite = bool(np.isfinite(img_pl).all())
+    return {
+        "parity_bad_frac": round(bad, 5),
+        "parity_ok": bool(finite and bad <= max_bad_frac),
     }

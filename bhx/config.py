@@ -211,9 +211,14 @@ class RenderConfig:
     # Kernel tile shape: (pallas_sublanes, 128) lanes per field.  Bigger
     # tiles give Mosaic more independent chains to pipeline; early exit
     # coarsens to tile granularity (compaction rounds absorb that).
-    pallas_sublanes: int = 8
+    # Swept on TPU v5e (scripts/kernel_sweep.py): 64 sublanes hit
+    # 8.45 G lane-steps/s vs 3.6 G at 8; 128 regresses, 256 OOMs VMEM.
+    pallas_sublanes: int = 64
     # Integration substeps unrolled per kernel inner-loop iteration.
-    pallas_unroll: int = 4
+    pallas_unroll: int = 8
+    # Tile rows for the shade/sky finalize kernels: smaller tiles skip
+    # crossing-free / fully-absorbed image regions at finer granularity.
+    pallas_shade_sublanes: int = 8
     dtype: str = "float32"
 
     def ladder_for_output(self) -> LadderConfig:

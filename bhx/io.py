@@ -59,6 +59,10 @@ def save_scene(path: str, scene: Scene, cfg: Optional[RenderConfig] = None) -> N
     put("bh.", scene.black_hole)
     for field in ("disk_texture", "sky_texture", "temp_lut", "time"):
         flat[field] = np.asarray(getattr(scene, field))
+    if scene.disk_gain is not None:
+        flat["disk_gain"] = np.asarray(scene.disk_gain)
+    if scene.materials is not None:
+        flat["materials"] = np.asarray(scene.materials)
     for i, mesh in enumerate(scene.meshes):
         put(f"mesh{i}.", mesh)
     flat["num_meshes"] = np.asarray(len(scene.meshes))
@@ -94,6 +98,8 @@ def load_scene(path: str) -> Scene:
         temp_lut=jnp.asarray(z["temp_lut"]),
         time=jnp.asarray(z["time"]),
         meshes=tuple(meshes),
+        disk_gain=jnp.asarray(z["disk_gain"]) if "disk_gain" in z else None,
+        materials=jnp.asarray(z["materials"]) if "materials" in z else None,
     )
 
 

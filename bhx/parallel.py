@@ -45,11 +45,25 @@ def tile_mesh(devices=None) -> Mesh:
 
 
 def init_distributed(coordinator: Optional[str] = None, **kw) -> None:
-    """Multi-host process bring-up (no-op if single-process)."""
-    if jax.process_count() > 1:
-        return
-    if coordinator is not None:
-        jax.distributed.initialize(coordinator_address=coordinator, **kw)
+    """Multi-host process bring-up.
+
+    Call BEFORE any other JAX API (touching ``jax.devices()`` or even
+    ``jax.process_count()`` initializes the local backend, after which
+    ``jax.distributed.initialize`` can no longer attach).  No-op when no
+    coordinator is given (single-process run) or when a distributed client
+    is already live (idempotent re-init).
+    """
+    import os
+
+    if coordinator is None:
+        coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None:
+        return  # single-process: plain local backend
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return  # already initialized (idempotent)
+    jax.distributed.initialize(coordinator_address=coordinator, **kw)
 
 
 def _pad_rows(h: int, n: int) -> int:
@@ -115,7 +129,11 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None)
 # ---------------------------------------------------------------------------
 
 # The differentiable parameter subset used by fit_scene / the dry run.
-PARAM_FIELDS = ("mass", "disk_rotation", "disk_inner", "disk_outer", "feather")
+# ``spin`` only influences the image under geodesics="kerr" (its gradient is
+# exactly zero in pseudo-Newtonian mode, which Adam handles fine).
+PARAM_FIELDS = (
+    "mass", "spin", "disk_rotation", "disk_inner", "disk_outer", "feather",
+)
 CAMERA_FIELDS = ("position", "fov")
 
 

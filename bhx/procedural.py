@@ -43,17 +43,27 @@ def _hash2(ix, iy, xp=jnp):
 
 
 def hash01(ix, iy, xp=jnp):
-    """Uniform [0,1) float32 from two integer coordinates."""
-    return _hash2(ix, iy, xp).astype(xp.float32) * xp.float32(1.0 / 4294967296.0)
+    """Uniform [0,1) float32 from two integer coordinates.
+
+    Uses the hash's top 24 bits via an int32 hop: float32 only holds 24
+    mantissa bits anyway, and Mosaic (Pallas TPU) has no uint32->float32
+    cast, so this formulation is exact AND kernel-lowerable — bit-identical
+    between the jnp, numpy, and Pallas paths.
+    """
+    h = _hash2(ix, iy, xp) >> xp.uint32(8)
+    return h.astype(xp.int32).astype(xp.float32) * xp.float32(1.0 / 16777216.0)
 
 
 def _grad(ix, iy, xp=jnp):
     """Unit-ish lattice gradient from hash bits — no trig (cos/sin of the
     hash angle cost ~20 VPU cycles each; two bit-slices + one rsqrt don't).
+    The 16-bit slices hop through int32 (see hash01).
     """
     h = _hash2(ix, iy, xp)
-    gx = (h & xp.uint32(0xFFFF)).astype(xp.float32) * xp.float32(2.0 / 65535.0) - 1.0
-    gy = (h >> xp.uint32(16)).astype(xp.float32) * xp.float32(2.0 / 65535.0) - 1.0
+    gx = (h & xp.uint32(0xFFFF)).astype(xp.int32).astype(xp.float32) \
+        * xp.float32(2.0 / 65535.0) - 1.0
+    gy = (h >> xp.uint32(16)).astype(xp.int32).astype(xp.float32) \
+        * xp.float32(2.0 / 65535.0) - 1.0
     inv = 1.0 / xp.sqrt(gx * gx + gy * gy + xp.float32(1e-12))
     return gx * inv, gy * inv
 
@@ -96,12 +106,14 @@ SPIRAL_AMOUNT = 2.0
 SPIRAL_POWER = 0.5
 
 
-def disk_sample(u, v, xp=jnp):
-    """RGBA of the procedural accretion texture at uv in [0,1]^2.
+def disk_texel_m(u, v, xp=jnp):
+    """Scalar texel value m of the procedural accretion texture at uv.
 
     Continuous version of the bake pipeline (warp evaluated exactly instead
     of via the tool's nearest-pixel remap): uv -> polar, spiral-unwarp
     theta += r^0.5 * pi * amount, then the 50/50 octave merge cascade.
+    Shape-agnostic elementwise math — also runs inside Pallas kernels
+    (bhx.kernels.shade_pallas) on (sublane, lane) planes.
     """
     rx = u * 2.0 - 1.0
     ry = v * 2.0 - 1.0
@@ -118,8 +130,13 @@ def disk_sample(u, v, xp=jnp):
     m = 0.5 * o3 + 0.5 * o2
     m = 0.5 * m + 0.5 * o1
     m = 0.5 * m + 0.5 * o0
-    rgba = xp.stack([m, m, m, m], axis=-1)
-    return rgba
+    return m
+
+
+def disk_sample(u, v, xp=jnp):
+    """RGBA of the procedural accretion texture at uv in [0,1]^2."""
+    m = disk_texel_m(u, v, xp)
+    return xp.stack([m, m, m, m], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -148,12 +165,9 @@ def _tint_coeffs(temp: float = 15000.0) -> np.ndarray:
     return _tint_coeffs_cache[key]
 
 
-def blackbody_tint(shift, temp: float = 15000.0, xp=jnp):
-    """RGB tint for a total red/blue shift factor in [0,1] (1 = unshifted).
-
-    Horner evaluation of the per-channel fit — ~30 fma, no LUT gather.
-    Max abs fit error vs the analytic curve < 0.01 over [0,1].
-    """
+def blackbody_tint_channels(shift, temp: float = 15000.0, xp=jnp):
+    """Per-channel (r, g, b) tint planes — the kernel-friendly variant
+    (no trailing stack; shape-agnostic elementwise math)."""
     c = _tint_coeffs(temp)
     s = xp.clip(shift, 0.0, 1.0)
     out = []
@@ -161,8 +175,18 @@ def blackbody_tint(shift, temp: float = 15000.0, xp=jnp):
         acc = xp.full_like(s, float(c[ch, 0]))
         for k in range(1, _TINT_DEG + 1):
             acc = acc * s + float(c[ch, k])
-        out.append(acc)
-    return xp.clip(xp.stack(out, axis=-1), 0.0, 1.0)
+        out.append(xp.clip(acc, 0.0, 1.0))
+    return tuple(out)
+
+
+def blackbody_tint(shift, temp: float = 15000.0, xp=jnp):
+    """RGB tint for a total red/blue shift factor in [0,1] (1 = unshifted).
+
+    Horner evaluation of the per-channel fit — ~30 fma, no LUT gather.
+    Max abs fit error vs the analytic curve < 0.01 over [0,1].
+    """
+    r, g, b = blackbody_tint_channels(shift, temp, xp)
+    return xp.stack([r, g, b], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -177,14 +201,15 @@ SKY_STAR_RADIUS_UV = 0.0024  # splat radius in uv units
 NEBULA_TINT = (0.45, 0.35, 0.65)
 
 
-def sky_radiance(u, v, xp=jnp):
-    """HDR sky radiance at equirect uv in [0,1]^2: nebula + star grid.
+def sky_radiance_channels(u, v, xp=jnp):
+    """HDR sky radiance (r, g, b) planes at equirect uv in [0,1]^2.
 
     Stars live on a hash cell grid: each cell holds at most one star
     (presence ~ sin(theta) for uniform sphere density) with hash-derived
     sub-cell position, power-law brightness, and a blackbody color from
     the tint polynomial.  A sample sums the 3x3 neighbourhood with a
-    quadratic splat — pure arithmetic, no gathers, no exp.
+    quadratic splat — pure arithmetic, no gathers, no exp.  Channel-tuple
+    form so the same code runs on Pallas (sublane, lane) planes.
     """
     # --- nebula: two perlin octaves, tinted (matches the baked generator) ---
     neb = (
@@ -192,8 +217,9 @@ def sky_radiance(u, v, xp=jnp):
         + perlin(u * 24.0 + 91.0, v * 12.0 + 17.0, xp) * 0.4
     )
     neb = xp.maximum(neb - 0.35, 0.0) * 0.9
-    tint = xp.asarray(NEBULA_TINT, dtype=xp.float32)
-    rgb = neb[..., None] * tint
+    out_r = neb * NEBULA_TINT[0]
+    out_g = neb * NEBULA_TINT[1]
+    out_b = neb * NEBULA_TINT[2]
 
     # --- star grid ---
     gx = u * SKY_CELLS_X
@@ -203,13 +229,13 @@ def sky_radiance(u, v, xp=jnp):
     # Row weight for uniform-on-sphere density: sin(pi * v).
     inv_r2 = 1.0 / (SKY_STAR_RADIUS_UV * SKY_STAR_RADIUS_UV)
 
-    star = xp.zeros_like(rgb)
     for oy in (-1, 0, 1):
         for ox in (-1, 0, 1):
             cx = cx0 + ox
             cy = cy0 + oy
-            # wrap in x (equirect seam), clamp rows outside [0, CY)
-            cxw = cx % SKY_CELLS_X
+            # wrap in x (equirect seam; CELLS_X is a power of two, so the
+            # bitwise and is exact mod even for cx = -1), clamp rows
+            cxw = cx & (SKY_CELLS_X - 1)
             row_ok = (cy >= 0) & (cy < SKY_CELLS_Y)
             h0 = hash01(cxw * 3 + 1, cy * 7 + 11, xp)
             h1 = hash01(cxw * 5 + 29, cy * 3 + 41, xp)
@@ -229,14 +255,24 @@ def sky_radiance(u, v, xp=jnp):
             w = w * w
             # power-law brightness (h3^8 tail) + floor; radiance domain,
             # max ~3.3 (the array path clips radiance at 4 before ^(1/4))
-            bright = (h3 ** 8) * 3.0 + 0.3
+            h32 = h3 * h3
+            h34 = h32 * h32
+            bright = (h34 * h34) * 3.0 + 0.3
             amp = xp.where(present, w * bright, 0.0)
             # color: blackbody at T in [3000, 12000] K via the tint poly
             # (shift s = T / 15000 in [0.2, 0.8])
             s_shift = 0.2 + 0.6 * hash01(cxw * 17 + 23, cy * 19 + 5, xp)
-            col = blackbody_tint(s_shift, xp=xp)
-            star = star + amp[..., None] * col
-    return rgb + star
+            cr, cg, cb = blackbody_tint_channels(s_shift, xp=xp)
+            out_r = out_r + amp * cr
+            out_g = out_g + amp * cg
+            out_b = out_b + amp * cb
+    return out_r, out_g, out_b
+
+
+def sky_radiance(u, v, xp=jnp):
+    """HDR sky radiance at equirect uv in [0,1]^2 (stacked rgb)."""
+    r, g, b = sky_radiance_channels(u, v, xp)
+    return xp.stack([r, g, b], axis=-1)
 
 
 def sky_radiance_dir(direction, xp=jnp):

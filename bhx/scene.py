@@ -207,6 +207,13 @@ class Scene:
     # (ray.wgsl:8 — `materials` unused in every shader function); kept so a
     # scene round-trips completely and future shading models can use them.
     materials: Optional[jax.Array] = None
+    # Coarse multiplicative RGBA gain over the disk texture's uv square,
+    # sampled gather-free via an MXU hat-basis product (shading.sample_grid_mxu).
+    # This is the differentiable disk-texture parameterization of the default
+    # (procedural) mode: the procedural texel is pure arithmetic of uv, so
+    # the learnable content lives here (default all-ones = identity).  In
+    # "array" mode gradients flow through ``disk_texture`` itself instead.
+    disk_gain: Optional[jax.Array] = None
 
     @staticmethod
     def default(
@@ -239,6 +246,7 @@ class Scene:
             time=_f32(0.0),
             meshes=tuple(meshes),
             materials=jnp.ones((8, 4), jnp.float32),
+            disk_gain=jnp.ones((16, 16, 4), jnp.float32),
         )
 
 

@@ -129,6 +129,28 @@ def sample_bilinear_fast(tex, u, v, wrap: bool = False):
     return top * (1 - fy) + bot * fy
 
 
+def sample_grid_mxu(grid, u, v):
+    """Bilinear sample of a *small* grid, gather-free and differentiable.
+
+    Clamp-addressed bilinear interpolation with texel centers at
+    (i + 0.5) / size — identical math to :func:`sample_bilinear` — but
+    expressed as dense hat-basis weights contracted on the MXU instead of
+    corner gathers (TPU gathers run at ~50M samples/s; a (N, G) x (G, G*C)
+    matmul with G<=16 is bandwidth-bound at ~GB/ms).  grid: (Gh, Gw, C);
+    u, v: (...,) in [0, 1].  Intended for coarse learnable grids like
+    ``Scene.disk_gain``; use sample_bilinear_fast for real textures.
+    """
+    gh, gw, c = grid.shape
+    x = jnp.clip(u * gw - 0.5, 0.0, gw - 1.0)
+    y = jnp.clip(v * gh - 0.5, 0.0, gh - 1.0)
+    ix = jnp.arange(gw, dtype=jnp.float32)
+    iy = jnp.arange(gh, dtype=jnp.float32)
+    bx = jnp.maximum(1.0 - jnp.abs(x[..., None] - ix), 0.0)  # (..., Gw)
+    by = jnp.maximum(1.0 - jnp.abs(y[..., None] - iy), 0.0)  # (..., Gh)
+    t = jnp.einsum("...h,hwc->...wc", by, grid)
+    return jnp.einsum("...w,...wc->...c", bx, t)
+
+
 def smoothstep(e0, e1, x):
     t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
     return t * t * (3.0 - 2.0 * t)
@@ -179,6 +201,7 @@ def disk_shade(
     show_texture: bool = True,
     show_redshift: bool = True,
     texture_mode: str = "array",
+    disk_gain=None,
 ):
     """Color and opacity of an accretion-disk crossing.
 
@@ -221,6 +244,10 @@ def disk_shade(
             from bhx.procedural import disk_sample
 
             texel = disk_sample(u, v)
+            # The learnable disk content of procedural mode: a coarse
+            # multiplicative RGBA grid (identity when all-ones / absent).
+            if disk_gain is not None:
+                texel = texel * sample_grid_mxu(disk_gain, u, v)
         else:
             texel = sample_bilinear_fast(disk_texture, u, v, wrap=False)
         opacity = opacity * jnp.clip(0.7 + texel[..., 3] * 0.5, 0.0, 1.0)
@@ -264,27 +291,39 @@ def jax_rsqrt(x, eps: float = 1e-20):
     return jnp.reciprocal(jnp.sqrt(x + eps))
 
 
-def aces_tonemap(rgb):
-    """ACES-fitted tonemap, exact matrices of the reference (hdr.wgsl:1-16).
+# ACES input/output matrices, exact constants of the reference
+# (hdr.wgsl:1-16).  WGSL mat3x3 constructors are column-major, so the flat
+# lists there are columns; these are the row-major equivalents.
+_ACES_M1 = (
+    (0.59719, 0.35458, 0.04823),
+    (0.07600, 0.90834, 0.01566),
+    (0.02840, 0.13383, 0.83777),
+)
+_ACES_M2 = (
+    (1.60475, -0.53108, -0.07367),
+    (-0.10208, 1.10813, -0.00605),
+    (-0.00327, -0.07276, 1.07602),
+)
 
-    WGSL mat3x3 constructors are column-major, so the flat lists there are
-    columns; as row-major matrices:
+
+def aces_tonemap(rgb):
+    """ACES-fitted tonemap (reference hdr.wgsl:1-16).
+
+    The 3x3 color transforms are unrolled to plane-wise fused multiply-adds
+    — a per-pixel (3,3)x(3,) einsum makes XLA emit a 3-lane matmul that
+    measured 25 ms at 1080p; 18 fma on (H, W) planes is bandwidth-bound.
     """
-    m1 = jnp.array(
-        [
-            [0.59719, 0.35458, 0.04823],
-            [0.07600, 0.90834, 0.01566],
-            [0.02840, 0.13383, 0.83777],
-        ]
-    )
-    m2 = jnp.array(
-        [
-            [1.60475, -0.53108, -0.07367],
-            [-0.10208, 1.10813, -0.00605],
-            [-0.00327, -0.07276, 1.07602],
-        ]
-    )
-    v = jnp.einsum("ij,...j->...i", m1, rgb)
-    a = v * (v + 0.0245786) - 0.000090537
-    b = v * (0.983729 * v + 0.4329510) + 0.238081
-    return jnp.clip(jnp.einsum("ij,...j->...i", m2, a / b), 0.0, 1.0)
+    ch = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    v = [
+        m[0] * ch[0] + m[1] * ch[1] + m[2] * ch[2] for m in _ACES_M1
+    ]
+    cur = [
+        (vi * (vi + 0.0245786) - 0.000090537)
+        / (vi * (0.983729 * vi + 0.4329510) + 0.238081)
+        for vi in v
+    ]
+    out = [
+        jnp.clip(m[0] * cur[0] + m[1] * cur[1] + m[2] * cur[2], 0.0, 1.0)
+        for m in _ACES_M2
+    ]
+    return jnp.stack(out, axis=-1)

@@ -552,6 +552,7 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
                 show_texture=cfg.show_disk_texture,
                 show_redshift=cfg.show_redshift,
                 texture_mode=cfg.texture_mode,
+                disk_gain=scene.disk_gain,
             )
         else:
             t_dk = jnp.full_like(t_h, MISS_T)
@@ -688,7 +689,14 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
 def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
     """One batched shade + composite of the deferred record: disk crossing
     slots (front-to-back via cumprod), then the opaque mesh hit, then
-    horizon capture."""
+    horizon capture.
+
+    In procedural texture mode the per-slot geometry shading (4-octave
+    Perlin texel, blackbody tint, optical depth) runs as a Pallas kernel
+    with tile-level skipping of crossing-free tiles
+    (bhx.kernels.shade_pallas); the composite — including the learnable
+    ``disk_gain`` grid — stays jnp and differentiable.
+    """
     bh = scene.black_hole
     rot_mat, _ = bh.disk_frame()
     n = state["pos"].shape[0]
@@ -698,24 +706,46 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
         slots = state["slots"]  # (n, K, CROSS_FIELDS)
         K = slots.shape[1]
         valid_nk = slots[:, :, 6] > 0.5
-        cam_nk = jnp.broadcast_to(cam_dist[:, None], (n, K)).reshape(-1)
-        rgb_f, op_f = disk_shade(
-            slots[:, :, 0:3].reshape(-1, 3), slots[:, :, 3:6].reshape(-1, 3),
-            cam_nk, bh, rot_mat,
-            scene.disk_texture, scene.temp_lut, scene.time,
-            show_texture=cfg.show_disk_texture,
-            show_redshift=cfg.show_redshift,
-            texture_mode=cfg.texture_mode,
-        )
-        rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
-        op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
-        trans = jnp.cumprod(1.0 - op_nk, axis=1)
-        trans_before = jnp.concatenate(
-            [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1
-        )
-        contrib = (trans_before * op_nk)[..., None] * rgb_nk
-        color = contrib.sum(axis=1)
-        trans_total = trans[:, -1]
+        if cfg.texture_mode == "procedural":
+            from bhx.kernels.shade_pallas import (
+                ShadeKernelConfig,
+                composite_ingredients,
+                pack_shade_params,
+                shade_ingredients,
+            )
+
+            kcfg = ShadeKernelConfig(
+                max_crossings=K,
+                show_texture=cfg.show_disk_texture,
+                show_redshift=cfg.show_redshift,
+                sublanes=cfg.pallas_shade_sublanes,
+                interpret=cfg.march_mode == "pallas_interpret",
+            )
+            params = pack_shade_params(bh, rot_mat, scene.time)
+            ing = shade_ingredients(slots, cam_dist, params, kcfg)
+            color, trans_total = composite_ingredients(
+                ing, valid_nk, scene.disk_gain, kcfg
+            )
+        else:
+            cam_nk = jnp.broadcast_to(cam_dist[:, None], (n, K)).reshape(-1)
+            rgb_f, op_f = disk_shade(
+                slots[:, :, 0:3].reshape(-1, 3), slots[:, :, 3:6].reshape(-1, 3),
+                cam_nk, bh, rot_mat,
+                scene.disk_texture, scene.temp_lut, scene.time,
+                show_texture=cfg.show_disk_texture,
+                show_redshift=cfg.show_redshift,
+                texture_mode=cfg.texture_mode,
+                disk_gain=scene.disk_gain,
+            )
+            rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
+            op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
+            trans = jnp.cumprod(1.0 - op_nk, axis=1)
+            trans_before = jnp.concatenate(
+                [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1
+            )
+            contrib = (trans_before * op_nk)[..., None] * rgb_nk
+            color = contrib.sum(axis=1)
+            trans_total = trans[:, -1]
     # Opaque mesh hit: weighted by the transmission through every recorded
     # crossing (all of which precede it on the ray).
     mesh_add = trans_total[:, None] * jnp.clip(state["mesh_color"], 0.0, 1.0)

@@ -92,15 +92,35 @@ def test_grad_wrt_disk_outer():
 
 @pytest.mark.slow
 def test_grad_wrt_disk_texture_flows():
-    """Reverse-mode gradient w.r.t. the whole disk texture is nonzero and
-    finite (inverse-rendering main path)."""
+    """Reverse-mode gradient w.r.t. the disk texture array is nonzero and
+    finite in texture_mode="array" (inverse-rendering main path).  The
+    default procedural mode never reads the array (its learnable content is
+    ``disk_gain`` — next test), so texture-array fitting pins array mode."""
     scene = small_scene()
+    cfg = dataclasses.replace(CFG, texture_mode="array")
 
     def loss(tex):
         s = dataclasses.replace(scene, disk_texture=tex)
-        return jnp.sum(render(s, CFG) ** 2)
+        return jnp.sum(render(s, cfg) ** 2)
 
     g = jax.grad(loss)(scene.disk_texture)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0.0
+
+
+@pytest.mark.slow
+def test_grad_wrt_disk_gain_flows_default_mode():
+    """Under the DEFAULT (procedural) texture mode, the learnable disk
+    content is the coarse multiplicative ``disk_gain`` grid; its
+    reverse-mode gradient must be nonzero and finite."""
+    scene = small_scene()
+
+    def loss(gain):
+        s = dataclasses.replace(scene, disk_gain=gain)
+        return jnp.sum(render(s, CFG) ** 2)
+
+    g = jax.grad(loss)(scene.disk_gain)
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0.0

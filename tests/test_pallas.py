@@ -19,8 +19,11 @@ def _compare(cfg_jnp, atol=3e-3, frac=0.01):
     scene = small_scene()
     # vote_every=4 (= the kernel's unroll) gives exact step budgets so the
     # comparison is not polluted by vote-interval overrun on capped rays.
+    # Small tiles: interpret-mode cost scales with padded lane count, and
+    # the TPU-swept defaults (64 sublanes) pad 1296 rays to 8192.
     cfg_pl = dataclasses.replace(
-        cfg_jnp, march_mode="pallas_interpret", pallas_vote_every=4
+        cfg_jnp, march_mode="pallas_interpret", pallas_vote_every=4,
+        pallas_sublanes=8, pallas_unroll=4,
     )
     img_jnp = np.asarray(trace_image(scene, cfg_jnp, 48, 27))
     img_pl = np.asarray(trace_image(scene, cfg_pl, 48, 27))
@@ -42,3 +45,64 @@ def test_pallas_rk45_matches_jnp():
             FAST_CFG, integrator=Integrator.RK45, max_iterations=200
         )
     )
+
+
+def test_shade_kernel_matches_jnp_reference():
+    """shade_ingredients (interpret) == its jnp reference on synthetic
+    crossing slots (the kernel's atan2 polynomial is the only divergence,
+    ~1e-5)."""
+    import jax.numpy as jnp
+
+    from bhx.kernels.shade_pallas import (
+        ShadeKernelConfig, _ingredients_jnp, pack_shade_params,
+        shade_ingredients,
+    )
+
+    scene = small_scene()
+    bh = scene.black_hole
+    rot, _ = bh.disk_frame()
+    params = pack_shade_params(bh, rot, scene.time)
+    rng = np.random.default_rng(0)
+    n, K = 257, 4
+    pos = rng.uniform(-9, 9, (n, K, 3)).astype(np.float32)
+    dirs = rng.normal(size=(n, K, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    valid = (rng.uniform(size=(n, K)) < 0.5).astype(np.float32)
+    slots = jnp.asarray(
+        np.concatenate([pos, dirs, valid[..., None]], axis=-1)
+    )
+    cam = jnp.asarray(rng.uniform(15, 25, (n,)).astype(np.float32))
+    kcfg = ShadeKernelConfig(max_crossings=K, sublanes=8, interpret=True)
+    ing_k = np.asarray(shade_ingredients(slots, cam, params, kcfg))
+    ing_j = np.asarray(_ingredients_jnp(slots, cam, params, kcfg))
+    # Kernel zeros the ingredients of invalid slots in fully-invalid tiles;
+    # compare only valid ones (invalid slots are masked in the composite).
+    m = valid > 0.5
+    assert np.isfinite(ing_k).all()
+    np.testing.assert_allclose(ing_k[m], ing_j[m], atol=2e-3, rtol=1e-3)
+
+
+def test_sky_kernel_matches_jnp_reference():
+    """sky_finalize (interpret) == its jnp reference on random records."""
+    import jax.numpy as jnp
+
+    from bhx.kernels.shade_pallas import (
+        SkyKernelConfig, _sky_finalize_jnp, sky_finalize,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 300
+    rec = rng.uniform(0, 1, (n, 8)).astype(np.float32)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rec[:, 5:8] = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    rec = jnp.asarray(rec)
+    kcfg = SkyKernelConfig(sublanes=8, interpret=True)
+    out_k = np.asarray(sky_finalize(rec, kcfg))
+    out_j = np.asarray(_sky_finalize_jnp(rec, kcfg))
+    assert np.isfinite(out_k).all()
+    # The kernel's polynomial atan2 shifts star-splat uv by ~1e-5; near a
+    # splat edge that can move a sample across the quadratic falloff, so
+    # compare with a small absolute tolerance and a tiny outlier allowance.
+    err = np.abs(out_k - out_j)
+    assert np.quantile(err, 0.995) < 2e-3
+    assert err.max() < 0.2

@@ -37,16 +37,16 @@ def test_aces_monotone_midtones():
 
 
 def test_bloom_downsample_preserves_flat_field():
-    img = jnp.full((32, 64, 3), 0.7)
+    img = jnp.full((3, 32, 64), 0.7)  # channel-major (C, H, W)
     out = bloom_downsample(img, (32, 16))
-    assert out.shape == (16, 32, 3)
+    assert out.shape == (3, 16, 32)
     np.testing.assert_allclose(np.asarray(out), 0.7, atol=1e-5)
 
 
 def test_bloom_upsample_preserves_flat_field():
-    img = jnp.full((16, 32, 3), 0.4)
+    img = jnp.full((3, 16, 32), 0.4)  # channel-major (C, H, W)
     out = bloom_upsample(img, (64, 32))
-    assert out.shape == (32, 64, 3)
+    assert out.shape == (3, 32, 64)
     np.testing.assert_allclose(np.asarray(out), 0.4, atol=1e-5)
 
 
