@@ -68,10 +68,12 @@ _P = dict(
 )
 NUM_PARAMS = len(_P)
 
-# Output field layout.
+# Output field layout.  ``count`` is the TRUE number of disk crossings the
+# ray made (not capped at max_crossings) — callers use it to measure how
+# many crossings the K-slot record dropped (tests bound that fraction).
 _OUT_FIXED = dict(
     px=0, py=1, pz=2, dx=3, dy=4, dz=5,
-    steps=6, closest=7, horizon=8, exited=9, h=10, amount=11,
+    steps=6, closest=7, horizon=8, exited=9, h=10, amount=11, count=12,
 )
 OUT_FIXED = len(_OUT_FIXED)
 CROSS_FIELDS = 7  # hx, hy, hz, dx, dy, dz, valid
@@ -379,6 +381,7 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     out_ref[0, _OUT_FIXED["exited"]] = final["exited"]
     out_ref[0, _OUT_FIXED["h"]] = final["h"]
     out_ref[0, _OUT_FIXED["amount"]] = final["amount_ub"]
+    out_ref[0, _OUT_FIXED["count"]] = final["count"]
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg",))

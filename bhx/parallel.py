@@ -124,6 +124,60 @@ def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Optional[Mesh] = None)
     return post(rec, scene, cfg)
 
 
+def bench_scaling(
+    scene: Scene,
+    cfg: RenderConfig,
+    device_counts=None,
+    repeats: int = 3,
+    width: Optional[int] = None,
+    height: Optional[int] = None,
+):
+    """Rays/s of the sharded trace at 1, 2, 4, ... devices.
+
+    BASELINE.md's second headline metric ("~linear rays/s at 1 chip ->
+    N hosts").  Each entry times ``trace_image_sharded`` on a mesh of the
+    first ``n`` devices and reports throughput plus efficiency relative
+    to perfect scaling from the 1-device row.  On a virtual CPU mesh
+    (tests/dev boxes) the devices share host cores, so efficiency there
+    measures *overhead of the sharded program*, not hardware scaling —
+    SCALING.json records the platform so the two aren't conflated.
+    """
+    import time
+
+    devs = jax.devices()
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
+    w = width or cfg.width
+    h = height or cfg.height
+    rows = []
+    base_rate = None
+    for n in device_counts:
+        mesh = tile_mesh(devs[:n])
+        out = trace_image_sharded(scene, cfg, mesh, w, h)  # compile + warm
+        out.block_until_ready()
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = trace_image_sharded(scene, cfg, mesh, w, h)
+            out.block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        rate = (w * h) / best
+        if base_rate is None:
+            base_rate = rate
+        rows.append(
+            dict(
+                devices=n,
+                seconds=best,
+                rays_per_s=rate,
+                mrays_per_s=rate / 1e6,
+                efficiency=rate / (base_rate * n),
+                platform=devs[0].platform,
+                device_kind=devs[0].device_kind,
+            )
+        )
+    return rows
+
+
 # ---------------------------------------------------------------------------
 # Inverse rendering (the training workload)
 # ---------------------------------------------------------------------------

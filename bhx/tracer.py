@@ -119,6 +119,10 @@ def _init_state(origins, directions, deferred: bool = False):
             mesh_color=jnp.zeros((n, 3), f),
             mesh_hit=jnp.zeros((n,), bool),
             horizon=jnp.zeros((n,), bool),
+            # True (uncapped) disk-crossing count from the kernel; crossings
+            # beyond the K record slots are dropped from shading — the
+            # difference vs `count` measures that (tests bound it).
+            true_count=jnp.zeros((n,), f),
             # Running transmission upper bound (the kernel's pow-free
             # early-exit bound), carried across phases.
             amount_ub=jnp.ones((n,), f),
@@ -257,6 +261,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     round count.  Compositing order is preserved because slots accumulate
     in crossing order and shading depends only on crossing geometry.
     """
+    from bhx.kernels.march_grad import march_pallas_diff
     from bhx.kernels.march_pallas import (
         CROSS_FIELDS,
         MarchKernelConfig,
@@ -312,6 +317,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         horizon=padded(jnp.zeros((n,), jnp.float32)),
         exited=padded(jnp.zeros((n,), jnp.float32)),
         count=padded(jnp.zeros((n,), jnp.float32)),
+        true_count=padded(jnp.zeros((n,), jnp.float32)),
         slots=jnp.zeros((npad, K, CROSS_FIELDS), jnp.float32),
     )
     # The ladder's masked retrace (and any tracer round after the first)
@@ -345,11 +351,17 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             ],
             axis=-1,
         )
+        # Euler marches go through the custom_vjp wrapper: primal cost is
+        # identical (fwd rule = the same kernel), and under jax.grad the
+        # backward replays via the rematerialized jnp mirror
+        # (bhx.kernels.march_grad).  RK45's adaptive controller has no
+        # mirror — gradients for it use march_mode="diff".
+        kernel = march_pallas_diff if kcfg.integrator == "euler" else march_pallas
         if compact:
             order, dest = _partition(act_f)
-            out = march_pallas(rays[order], params, kcfg)[dest]
+            out = kernel(rays[order], params, kcfg)[dest]
         else:
-            out = march_pallas(rays, params, kcfg)
+            out = kernel(rays, params, kcfg)
 
         active = act_f > 0.5
         pos = jnp.where(active[:, None], out[:, 0:3], work["pos"])
@@ -366,6 +378,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # Merge this round's crossing slots after the ray's existing ones.
         slots = work["slots"]
         count = work["count"]
+        # True (uncapped) crossing count from the kernel: crossings beyond
+        # the K record slots still attenuate amount_ub but are not shaded;
+        # this tracks how many were dropped (bounded by tests).
+        true_count = work["true_count"] + jnp.where(active, out[:, 12], 0.0)
         if cfg.show_disk:
             round_slots = out[:, OUT_FIXED:].reshape(npad, K, CROSS_FIELDS)
             round_valid = (round_slots[:, :, 6] > 0.5) & active[:, None]
@@ -391,6 +407,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             pos=pos, dir=direction, h=h_new, act=still.astype(jnp.float32),
             amount_ub=amount_ub, closest=closest, steps=steps,
             horizon=horizon, exited=exited, count=count, slots=slots,
+            true_count=true_count,
         )
         return work
 
@@ -419,6 +436,12 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     hit = state["hit"]
     slots_acc = state["slots"]
     count_acc = state["count"]
+    state_true = state.get("true_count")
+    if state_true is not None:
+        state = dict(state)
+        state["true_count"] = state_true + jnp.where(
+            was, work["true_count"], 0.0
+        )
     if cfg.show_disk:
         phase_slots = jnp.where(was_f[:, None, None], work["slots"], 0.0)
         phase_count = jnp.where(was_f, work["count"], 0.0)
@@ -683,6 +706,36 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
 
     return jnp.concatenate(
         [color, alpha[:, None], amount[:, None], state["dir"]], axis=-1
+    )
+
+
+def crossing_overflow_stats(scene: Scene, cfg: RenderConfig, width: int,
+                            height: int):
+    """Per-frame K-slot crossing-overflow diagnostic (pallas march only).
+
+    The kernel records at most K = max_crossings disk crossings per ray;
+    further crossings still attenuate the early-exit transmission bound but
+    are never shaded (the reference composites unboundedly,
+    ray.wgsl:571-580).  Returns the fraction of rays that dropped at least
+    one crossing and the total dropped count — logged by the viewer/CLI
+    and bounded by tests/test_pallas.py even for edge-on disks.
+    """
+    assert cfg.march_mode in ("pallas", "pallas_interpret")
+    o, d = camera_rays(scene.camera, width, height)
+    o, d = o.reshape(-1, 3), d.reshape(-1, 3)
+    bh = scene.black_hole
+    state = _init_state(o, d, deferred=True)
+    cam_dist = jnp.linalg.norm(o - bh.position, axis=-1)
+    for r in range(DEFAULT_ROUNDS):
+        state = _straight_phase(state, scene, cfg, cam_dist)
+        state = _march_phase(
+            state, scene, cfg, cam_dist, sparse=r > 0, first_phase=(r == 0)
+        )
+    dropped = jnp.maximum(state["true_count"] - state["count"], 0.0)
+    return dict(
+        overflow_frac=jnp.mean((dropped > 0.0).astype(jnp.float32)),
+        dropped_total=jnp.sum(dropped),
+        max_count=jnp.max(state["true_count"]),
     )
 
 

@@ -44,11 +44,24 @@ input[type=range] { width:100% }
   <label>feather <input type="range" id="feather" min="0" max="1" step="0.05" value="0.3"></label>
   <label>time <input type="range" id="time" min="0" max="20" step="0.1" value="0"></label>
   <label><input type="checkbox" id="show_disk" checked> disk</label>
+  <label><input type="checkbox" id="show_texture" checked> disk texture</label>
   <label><input type="checkbox" id="show_redshift" checked> red/blue shift</label>
   <label><input type="checkbox" id="show_sky" checked> sky</label>
   <label><input type="checkbox" id="bloom" checked> bloom</label>
+  <label>mix ratio <input type="range" id="mix_ratio" min="0" max="1" step="0.05" value="0.7"></label>
   <label><input type="checkbox" id="fxaa" checked> fxaa</label>
+  <label><input type="checkbox" id="tonemap" checked> ACES tonemap</label>
+  <label><input type="checkbox" id="ladder"> adaptive ladder</label>
   <label><input type="checkbox" id="kerr"> exact Kerr geodesics</label>
+  <label>integrator
+    <select id="integrator"><option value="euler" selected>Euler</option>
+    <option value="rk45">RK45</option></select></label>
+  <label>step size <span id="step_size_v"></span>
+    <input type="range" id="step_size" min="0.02" max="0.5" step="0.01" value="0.15"></label>
+  <label>max iterations <span id="max_iter_v"></span>
+    <input type="range" id="max_iter" min="100" max="4000" step="100" value="800"></label>
+  <label><input type="checkbox" id="paused"> pause</label>
+  <button id="step_btn">step time +0.1</button>
   <div style="margin-top:10px">WASD/QE move, drag look, wheel fov</div>
 </div>
 <script>
@@ -67,12 +80,18 @@ function state() {
     mass:+g('mass').value, spin:+g('spin').value,
     disk_inner:+g('disk_inner').value, disk_outer:+g('disk_outer').value,
     feather:+g('feather').value, time:+g('time').value,
-    show_disk:g('show_disk').checked, show_redshift:g('show_redshift').checked,
+    show_disk:g('show_disk').checked, show_texture:g('show_texture').checked,
+    show_redshift:g('show_redshift').checked,
     show_sky:g('show_sky').checked, bloom:g('bloom').checked,
-    fxaa:g('fxaa').checked, kerr:g('kerr').checked,
+    mix_ratio:+g('mix_ratio').value,
+    fxaa:g('fxaa').checked, tonemap:g('tonemap').checked,
+    ladder:g('ladder').checked, kerr:g('kerr').checked,
+    integrator:g('integrator').value, step_size:+g('step_size').value,
+    max_iter:+g('max_iter').value,
   };
 }
 async function render() {
+  if (document.getElementById('paused').checked) { queued=true; return; }
   if (busy) { queued=true; return; }
   busy=true;
   const t0=performance.now();
@@ -83,10 +102,24 @@ async function render() {
     `${((performance.now()-t0)/1000).toFixed(2)}s/frame`;
   document.getElementById('mass_v').textContent = state().mass;
   document.getElementById('spin_v').textContent = state().spin;
+  document.getElementById('step_size_v').textContent = state().step_size;
+  document.getElementById('max_iter_v').textContent = state().max_iter;
   busy=false;
   if (queued) { queued=false; render(); }
 }
-document.querySelectorAll('input').forEach(el=>el.addEventListener('input',render));
+document.querySelectorAll('input,select').forEach(el=>el.addEventListener('input',render));
+document.getElementById('paused').addEventListener('change', e=>{
+  if(!e.target.checked && queued){ queued=false; render(); }
+});
+document.getElementById('step_btn').addEventListener('click', ()=>{
+  // Step-mode: advance scene time one tick while paused.
+  const t = document.getElementById('time');
+  t.value = (+t.value + 0.1).toFixed(1);
+  const was = document.getElementById('paused').checked;
+  document.getElementById('paused').checked = false;
+  render();
+  document.getElementById('paused').checked = was;
+});
 let drag=null;
 img.addEventListener('mousedown', e=>{drag=[e.clientX,e.clientY]});
 window.addEventListener('mouseup', ()=>{drag=null});
@@ -131,7 +164,13 @@ class ViewerServer:
     def render_frame(self, req: dict) -> bytes:
         import jax.numpy as jnp
 
-        from bhx.config import BloomConfig, FxaaConfig, RenderConfig
+        from bhx.config import (
+            BloomConfig,
+            FxaaConfig,
+            Integrator,
+            LadderConfig,
+            RenderConfig,
+        )
         from bhx.io import to_uint8
         from bhx.pipeline import render_jit
         from bhx.scene import Scene
@@ -156,18 +195,33 @@ class ViewerServer:
                 scene, camera=cam, black_hole=bh,
                 time=jnp.float32(req.get("time", 0.0)),
             )
+            # Every reference UI control (src/ui/render_settings.rs:127-194)
+            # is reachable here; static fields (integrator, iterations,
+            # ladder) cost one recompile per new value, cached thereafter.
             cfg = RenderConfig(
                 width=self.width,
                 height=self.height,
-                use_ladder=False,
-                max_iterations=self.max_iterations,
+                use_ladder=bool(req.get("ladder", False)),
+                ladder=LadderConfig.for_resolution(self.width, self.height, 3),
+                max_iterations=int(req.get("max_iter", self.max_iterations)),
+                step_size=float(req.get("step_size", 0.15)),
+                integrator=(
+                    Integrator.RK45
+                    if req.get("integrator") == "rk45"
+                    else Integrator.EULER
+                ),
                 march_mode=self.march_mode,
                 geodesics="kerr" if req.get("kerr") else "pseudo",
                 show_disk=bool(req.get("show_disk", True)),
+                show_disk_texture=bool(req.get("show_texture", True)),
                 show_redshift=bool(req.get("show_redshift", True)),
                 show_sky=bool(req.get("show_sky", True)),
-                bloom=BloomConfig(enabled=bool(req.get("bloom", True))),
+                bloom=BloomConfig(
+                    enabled=bool(req.get("bloom", True)),
+                    mix_ratio=float(req.get("mix_ratio", 0.7)),
+                ),
                 fxaa=FxaaConfig(enabled=bool(req.get("fxaa", True))),
+                tonemap=bool(req.get("tonemap", True)),
             )
             img = to_uint8(np.asarray(render_jit(scene, cfg)))
         from PIL import Image
