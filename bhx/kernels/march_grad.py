@@ -67,6 +67,11 @@ from bhx.kernels.march_pallas import (
 # Substeps per rematerialization leaf (one inline scan's worth of
 # stored residuals during the backward pass).
 _LEAF = 32
+# Leaves per rematerialized segment: the time axis is decomposed as
+# scan(n_seg) ∘ remat ∘ scan(_SEG_LEAVES) ∘ remat ∘ scan(_LEAF) so the
+# step body is traced ONCE per level (fast compile) while backward peak
+# memory stays O(n_seg + _SEG_LEAVES + _LEAF) ray states.
+_SEG_LEAVES = 7
 
 
 def _block_steps(kcfg: MarchKernelConfig) -> int:
@@ -226,24 +231,55 @@ def step_pure(s, sc, kcfg: MarchKernelConfig):
     )
 
 
-def _run_steps(state, sc, kcfg: MarchKernelConfig, t: int):
-    """Run exactly ``t`` substeps with binary-recursive rematerialization:
-    peak live state during the backward pass is O(log2(t/_LEAF) + _LEAF)
-    copies instead of O(t)."""
-    if t <= _LEAF:
-        def body(s, _):
-            return step_pure(s, sc, kcfg), None
+def _leaf(state, sc, kcfg: MarchKernelConfig, n: int):
+    def body(s, _):
+        return step_pure(s, sc, kcfg), None
 
-        state, _ = jax.lax.scan(body, state, None, length=t)
-        return state
-    half = t // 2
+    state, _ = jax.lax.scan(body, state, None, length=n)
+    return state
+
+
+def _run_steps(state, sc, kcfg: MarchKernelConfig, t: int):
+    """Run exactly ``t`` substeps, rematerialized along the time axis.
+
+    Structure: an outer scan over t // (_SEG_LEAVES * _LEAF) segments whose
+    body is a checkpointed scan over _SEG_LEAVES checkpointed _LEAF-step
+    leaves, plus a remainder chain.  Backward peak memory is
+    O(n_seg + _SEG_LEAVES + _LEAF) ray-state copies instead of O(t), and
+    the step body is traced once per nesting level instead of once per
+    leaf (compile time)."""
+    big = _SEG_LEAVES * _LEAF
 
     @jax.checkpoint
-    def first(s, scc):
-        return _run_steps(s, scc, kcfg, half)
+    def leaf_ck(s, scc):
+        return _leaf(s, scc, kcfg, _LEAF)
 
-    state = first(state, sc)
-    return _run_steps(state, sc, kcfg, t - half)
+    n_big = t // big
+    if n_big:
+        @jax.checkpoint
+        def seg(s, scc):
+            def inner(ss, _):
+                return leaf_ck(ss, scc), None
+
+            ss, _ = jax.lax.scan(inner, s, None, length=_SEG_LEAVES)
+            return ss
+
+        def outer(s, _):
+            return seg(s, sc), None
+
+        state, _ = jax.lax.scan(outer, state, None, length=n_big)
+
+    rem = t - n_big * big
+    n_leaf = rem // _LEAF
+    if n_leaf:
+        def inner2(s, _):
+            return leaf_ck(s, sc), None
+
+        state, _ = jax.lax.scan(inner2, state, None, length=n_leaf)
+    tail = rem - n_leaf * _LEAF
+    if tail:
+        state = _leaf(state, sc, kcfg, tail)
+    return state
 
 
 def march_jnp(rays, params, kcfg: MarchKernelConfig):

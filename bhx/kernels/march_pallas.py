@@ -52,7 +52,7 @@ from bhx.integrate import (
 
 LANES = 8 * 128  # rays per grid step
 
-# Input ray fields.
+# Input ray fields.  Kerr marches carry 3 extra momentum fields (10-12).
 IN_FIELDS = 10  # px, py, pz, dx, dy, dz, h, active, amount, steps_done
 
 # Scalar parameter vector layout (SMEM).
@@ -65,6 +65,8 @@ _P = dict(
     # steps_done + steps_this_call reaches it, so multi-round marching
     # matches the single-call budget semantics bit-for-bit.
     budget=19,
+    # Dimensionless spin (geodesics="kerr" only; a = spin * mass).
+    spin=20,
 )
 NUM_PARAMS = len(_P)
 
@@ -91,6 +93,11 @@ VOTE_EVERY = 32
 @dataclasses.dataclass(frozen=True)
 class MarchKernelConfig:
     integrator: str = "euler"  # "euler" | "rk45"
+    # "pseudo": the reference's pseudo-Newtonian bending force
+    # (ray.wgsl:401-403).  "kerr": exact Kerr null geodesics — Hamiltonian
+    # RK4 in Kerr-Schild coordinates with dH/dx from jax.vjp *inside* the
+    # kernel body (pure elementwise math -> VPU code); mirrors bhx.kerr.
+    geodesics: str = "pseudo"
     max_iterations: int = 2000
     max_crossings: int = 4
     # Disk-texture opacity factor lower bound (1.0 when texture disabled).
@@ -109,6 +116,20 @@ class MarchKernelConfig:
     @property
     def lanes(self) -> int:
         return self.sublanes * 128
+
+    @property
+    def in_fields(self) -> int:
+        return IN_FIELDS + (3 if self.geodesics == "kerr" else 0)
+
+    @property
+    def out_fields(self) -> int:
+        # Kerr appends the final conjugate momentum after the slot block
+        # (multi-round marching resumes from it).
+        return (
+            OUT_FIXED
+            + CROSS_FIELDS * self.max_crossings
+            + (3 if self.geodesics == "kerr" else 0)
+        )
 
 
 def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
@@ -139,6 +160,55 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
 
     zeros = jnp.zeros_like(px0)
     K = kcfg.max_crossings
+    kerr = kcfg.geodesics == "kerr"
+
+    if kerr:
+        # --- exact Kerr null geodesics (mirrors bhx.kerr; reference has
+        # no spin at all — its force is ray.wgsl:401-403) ---
+        spin = p("spin")
+        a_k = spin * mass
+        a2_k = a_k * a_k
+        r_plus = mass * (
+            1.0 + jnp.sqrt(jnp.clip(1.0 - spin * spin, 0.0, 1.0))
+        )
+        inv_3m = 1.0 / (3.0 * mass)
+
+        def kerr_scalars(rx, ry, rz):
+            """(r, f, l): Kerr-Schild radial coord, potential, null vector
+            (bhx.kerr._kerr_scalars, component-wise for the VPU)."""
+            rho2 = rx * rx + ry * ry + rz * rz
+            b_ = rho2 - a2_k
+            r2 = 0.5 * (
+                b_ + jnp.sqrt(b_ * b_ + 4.0 * a2_k * rz * rz + 1e-20)
+            )
+            r2 = jnp.maximum(r2, 1e-12)
+            r = jnp.sqrt(r2)
+            f = 2.0 * mass * r2 * r / (r2 * r2 + a2_k * rz * rz + 1e-20)
+            denom = r2 + a2_k
+            lx = (r * rx + a_k * ry) / denom
+            ly = (r * ry - a_k * rx) / denom
+            lz = rz / r
+            return r, f, lx, ly, lz
+
+        def kerr_rhs(rx, ry, rz, qx, qy, qz):
+            """Hamilton's equations: dx = p - f lp l; dp = -dH/dx with
+            dH/dx from jax.vjp *inside the kernel* (elementwise math only,
+            so it lowers to VPU code like the rest; bhx.kerr.rhs)."""
+            _, f, lx, ly, lz = kerr_scalars(rx, ry, rz)
+            lp = 1.0 + lx * qx + ly * qy + lz * qz
+            flp = f * lp
+            dxx = qx - flp * lx
+            dxy = qy - flp * ly
+            dxz = qz - flp * lz
+
+            def h_of_x(ax, ay, az):
+                _, f_, lx_, ly_, lz_ = kerr_scalars(ax, ay, az)
+                lp_ = 1.0 + lx_ * qx + ly_ * qy + lz_ * qz
+                return -0.5 * f_ * lp_ * lp_
+
+            _, vjp = jax.vjp(h_of_x, rx, ry, rz)
+            gx, gy, gz = vjp(jnp.ones_like(rx))
+            return dxx, dxy, dxz, -gx, -gy, -gz
 
     # Crossing slots live in the output ref, not the loop carry.
     for k in range(K):
@@ -159,6 +229,10 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
         count=zeros,
         it=jnp.int32(0),
     )
+    if kerr:
+        init.update(
+            qx=rays_ref[0, 10], qy=rays_ref[0, 11], qz=rays_ref[0, 12]
+        )
 
     def accel(qx, qy, qz, h2):
         rx, ry, rz = qx - bx, qy - by, qz - bz
@@ -189,7 +263,61 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
         czv = rx * dy - ry * dx
         h2 = cxv * cxv + cyv * cyv + czv * czv
 
-        if kcfg.integrator == "euler":
+        kerr_captured = None
+        q_out = {}
+        if kerr:
+            # Hamiltonian RK4 on (x, p) with a field-strength-scaled step
+            # (bhx.kerr.step_rk4 / adaptive_h); the "direction" for hit
+            # tests / sky is the step segment's chord, like the jnp path
+            # (bhx/tracer.py kerr branch).
+            qx, qy, qz = s["qx"], s["qy"], s["qz"]
+            r0, _, _, _, _ = kerr_scalars(rx, ry, rz)
+            t_ = r0 * inv_3m
+            hk = jnp.clip(
+                p("step_size") * t_ * jnp.sqrt(t_), 2e-3, 1.0
+            )
+            k1 = kerr_rhs(rx, ry, rz, qx, qy, qz)
+            k2 = kerr_rhs(
+                rx + 0.5 * hk * k1[0], ry + 0.5 * hk * k1[1],
+                rz + 0.5 * hk * k1[2],
+                qx + 0.5 * hk * k1[3], qy + 0.5 * hk * k1[4],
+                qz + 0.5 * hk * k1[5],
+            )
+            k3 = kerr_rhs(
+                rx + 0.5 * hk * k2[0], ry + 0.5 * hk * k2[1],
+                rz + 0.5 * hk * k2[2],
+                qx + 0.5 * hk * k2[3], qy + 0.5 * hk * k2[4],
+                qz + 0.5 * hk * k2[5],
+            )
+            k4 = kerr_rhs(
+                rx + hk * k3[0], ry + hk * k3[1], rz + hk * k3[2],
+                qx + hk * k3[3], qy + hk * k3[4], qz + hk * k3[5],
+            )
+            sixth = hk * (1.0 / 6.0)
+            nrx = rx + sixth * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+            nry = ry + sixth * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+            nrz = rz + sixth * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+            nqx = qx + sixth * (k1[3] + 2 * k2[3] + 2 * k3[3] + k4[3])
+            nqy = qy + sixth * (k1[4] + 2 * k2[4] + 2 * k3[4] + k4[4])
+            nqz = qz + sixth * (k1[5] + 2 * k2[5] + 2 * k3[5] + k4[5])
+            sgx, sgy, sgz = nrx - rx, nry - ry, nrz - rz
+            seg_len = jnp.sqrt(sgx * sgx + sgy * sgy + sgz * sgz + 1e-24)
+            inv_seg = 1.0 / seg_len
+            ndx, ndy, ndz = sgx * inv_seg, sgy * inv_seg, sgz * inv_seg
+            npx, npy, npz = nrx + bx, nry + by, nrz + bz
+            h_used = seg_len
+            h_next = s["h"]
+            applied = act
+            # Capture: inside the (spin-dependent) outer horizon.
+            r_new, _, _, _, _ = kerr_scalars(nrx, nry, nrz)
+            kerr_captured = jnp.logical_and(applied, r_new <= r_plus)
+            app3 = jnp.where(applied, 1.0, 0.0)
+            q_out = dict(
+                qx=app3 * nqx + (1.0 - app3) * qx,
+                qy=app3 * nqy + (1.0 - app3) * qy,
+                qz=app3 * nqz + (1.0 - app3) * qz,
+            )
+        elif kcfg.integrator == "euler":
             h_used = s["h"]
             ax, ay, az = accel(px, py, pz, h2)
             ndx, ndy, ndz = norm3(dx + ax * h_used, dy + ay * h_used, dz + az * h_used)

@@ -358,8 +358,45 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # mirror — gradients for it use march_mode="diff".
         kernel = march_pallas_diff if kcfg.integrator == "euler" else march_pallas
         if compact:
-            order, dest = _partition(act_f)
-            out = kernel(rays[order], params, kcfg)[dest]
+            # Sparse active sets (ladder retrace, round >= 2 re-entries):
+            # gather the actives into the smallest capacity tier that fits
+            # and march only that buffer, so kernel launch + permute
+            # traffic track the active count instead of the frame size
+            # (full-frame (N, F) permute gathers measured ~200 ms at 1080p
+            # on v5e).  Inactive rows of `out` are zeros — every consumer
+            # below masks with `active`.
+            m = act_f > 0.5
+            na = jnp.sum(m.astype(jnp.int32))
+            fout = OUT_FIXED + CROSS_FIELDS * K
+            tiers = []
+            for div in (64, 8):
+                c = max(kcfg.lanes, (npad // div // kcfg.lanes) * kcfg.lanes)
+                if c < npad and c not in tiers:
+                    tiers.append(c)
+
+            def capped(c):
+                def f(_):
+                    idx = jnp.nonzero(m, size=c, fill_value=npad - 1)[0]
+                    out_small = kernel(rays[idx], params, kcfg)
+                    return (
+                        jnp.zeros((npad, fout), jnp.float32)
+                        .at[idx].set(out_small)
+                    )
+
+                return f
+
+            def full(_):
+                order, dest = _partition(act_f)
+                return kernel(rays[order], params, kcfg)[dest]
+
+            branch = full
+            for c in sorted(tiers, reverse=True):
+                branch = (
+                    lambda c=c, nxt=branch: lambda op: jax.lax.cond(
+                        na <= c, capped(c), nxt, op
+                    )
+                )()
+            out = branch(0)
         else:
             out = kernel(rays, params, kcfg)
 
