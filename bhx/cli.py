@@ -46,6 +46,7 @@ def _build_config(args) -> "RenderConfig":
         fxaa=FxaaConfig(enabled=not args.no_fxaa),
         tonemap=not args.no_tonemap,
         march_mode=mode,
+        geodesics=args.geodesics,
     )
 
 
@@ -68,8 +69,11 @@ def _build_scene(args) -> "Scene":
     bh = dc.replace(
         scene.black_hole,
         mass=jnp.float32(args.mass),
+        spin=jnp.float32(args.spin),
         disk_inner=jnp.float32(args.disk_inner),
         disk_outer=jnp.float32(args.disk_outer),
+        disk_rotation=jnp.asarray(args.disk_rotation, jnp.float32),
+        rotation_speed=jnp.float32(args.rotation_speed),
         relativity_radius=jnp.float32(args.relativity_radius),
         feather=jnp.float32(args.feather),
     )
@@ -88,8 +92,15 @@ def _add_scene_flags(p: argparse.ArgumentParser):
     p.add_argument("--width", type=int, default=1918)
     p.add_argument("--height", type=int, default=1081)
     p.add_argument("--mass", type=float, default=0.5)
+    p.add_argument("--spin", type=float, default=0.0,
+                   help="dimensionless a/M (geodesics=kerr only)")
+    p.add_argument("--geodesics", choices=["pseudo", "kerr"], default="pseudo",
+                   help="pseudo-Newtonian bending (reference) or exact Kerr")
     p.add_argument("--disk-inner", type=float, default=2.0)
     p.add_argument("--disk-outer", type=float, default=10.0)
+    p.add_argument("--disk-rotation", type=float, nargs=3,
+                   default=[0.15, 0.0, 0.25], help="disk Euler angles")
+    p.add_argument("--rotation-speed", type=float, default=1.0)
     p.add_argument("--relativity-radius", type=float, default=20.0)
     p.add_argument("--feather", type=float, default=0.3)
     p.add_argument("--camera", type=float, nargs=3, default=[0.0, 0.0, -19.0])

@@ -371,19 +371,26 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
             npz = pz + dz * h_used
             applied = jnp.logical_and(act, accept)
 
-        # --- segment hit tests: origin (px,py,pz), direction (new dir,
-        # unit length), t in (0, h_used] (reference ray.wgsl:539-541) ---
-        ox, oy, oz = px - bx, py - by, pz - bz
-        half_b = ox * ndx + oy * ndy + oz * ndz
-        c_q = ox * ox + oy * oy + oz * oz - horizon_r2
-        disc4 = half_b * half_b - c_q  # disc/4 (a == 1 for unit dir)
-        sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
-        t1 = -half_b - sq
-        t2 = -half_b + sq
-        v1 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t1 > 1e-8, t1 < h_used))
-        v2 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t2 > 1e-8, t2 < h_used))
-        t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
-        hit_h = jnp.logical_or(v1, v2)
+        if kerr:
+            # Capture was detected on the Boyer-Lindquist radius of the
+            # stepped position (r_new <= r_plus above): a terminal hit at
+            # t = 0, exactly like the jnp kerr path (bhx/tracer.py).
+            hit_h = kerr_captured
+            t_h = jnp.where(kerr_captured, 0.0, 1e9)
+        else:
+            # --- segment hit tests: origin (px,py,pz), direction (new dir,
+            # unit length), t in (0, h_used] (reference ray.wgsl:539-541) ---
+            ox, oy, oz = px - bx, py - by, pz - bz
+            half_b = ox * ndx + oy * ndy + oz * ndz
+            c_q = ox * ox + oy * oy + oz * oz - horizon_r2
+            disc4 = half_b * half_b - c_q  # disc/4 (a == 1 for unit dir)
+            sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+            t1 = -half_b - sq
+            t2 = -half_b + sq
+            v1 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t1 > 1e-8, t1 < h_used))
+            v2 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t2 > 1e-8, t2 < h_used))
+            t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
+            hit_h = jnp.logical_or(v1, v2)
 
         if kcfg.show_disk:
             denom = nx * ndx + ny * ndy + nz * ndz
@@ -481,6 +488,7 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
             h=h_out, act=act_out, steps=steps, closest2=closest2,
             amount_ub=amount_ub, horizon=horizon, exited=exited,
             count=count, it=s["it"] + 1,
+            **q_out,
         )
 
     inner_iters = max(1, kcfg.vote_every // kcfg.unroll)
@@ -510,25 +518,37 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     out_ref[0, _OUT_FIXED["h"]] = final["h"]
     out_ref[0, _OUT_FIXED["amount"]] = final["amount_ub"]
     out_ref[0, _OUT_FIXED["count"]] = final["count"]
+    if kerr:
+        # Final conjugate momentum after the slot block — multi-round
+        # marching resumes the Hamiltonian state from it.
+        base = OUT_FIXED + CROSS_FIELDS * K
+        out_ref[0, base + 0] = final["qx"]
+        out_ref[0, base + 1] = final["qy"]
+        out_ref[0, base + 2] = final["qz"]
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg",))
 def march_pallas(rays, params, kcfg: MarchKernelConfig):
     """Run the march kernel.
 
-    rays: (N, IN_FIELDS) float32 — px, py, pz, dx, dy, dz, h0, active,
-    amount, steps_done — N a multiple of kcfg.lanes.  params: (NUM_PARAMS,)
-    float32 per _P.
-    Returns (N, OUT_FIXED + 7K) float32.
+    rays: (N, kcfg.in_fields) float32 — px, py, pz, dx, dy, dz, h0, active,
+    amount, steps_done [, qx, qy, qz for geodesics="kerr"] — N a multiple
+    of kcfg.lanes.  params: (NUM_PARAMS,) float32 per _P.
+    Returns (N, kcfg.out_fields) float32 (OUT_FIXED + 7K fixed fields +
+    slots [, final momentum for kerr]).
     """
     n = rays.shape[0]
     lanes = kcfg.lanes
     s8 = kcfg.sublanes
     assert n % lanes == 0, f"ray count {n} not a multiple of {lanes}"
+    assert rays.shape[-1] == kcfg.in_fields, (
+        f"rays has {rays.shape[-1]} fields, kcfg expects {kcfg.in_fields}"
+    )
     tiles = n // lanes
-    fout = OUT_FIXED + CROSS_FIELDS * kcfg.max_crossings
+    fin = kcfg.in_fields
+    fout = kcfg.out_fields
 
-    rays_t = rays.reshape(tiles, s8, 128, IN_FIELDS).transpose(0, 3, 1, 2)
+    rays_t = rays.reshape(tiles, s8, 128, fin).transpose(0, 3, 1, 2)
     params2 = params.reshape(1, NUM_PARAMS)
 
     out = pl.pallas_call(
@@ -537,7 +557,7 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, IN_FIELDS, s8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, fin, s8, 128), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, fout, s8, 128), lambda i: (i, 0, 0, 0),
@@ -561,5 +581,6 @@ def pack_params(black_hole, disk_normal, cfg) -> jnp.ndarray:
         jnp.float32(cfg.rk_min_factor), jnp.float32(cfg.rk_max_factor),
         jnp.float32(cfg.rk_h_min), jnp.float32(cfg.rk_h_max),
         jnp.float32(cfg.max_iterations),
+        black_hole.spin,
     ]
     return jnp.stack([jnp.asarray(v, jnp.float32) for v in vals])

@@ -282,6 +282,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     # when its cumulative step count reaches it.
     kcfg = MarchKernelConfig(
         integrator="euler" if cfg.integrator == Integrator.EULER else "rk45",
+        geodesics=cfg.geodesics,
         max_iterations=round_steps,
         tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
         show_disk=cfg.show_disk,
@@ -320,6 +321,9 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         true_count=padded(jnp.zeros((n,), jnp.float32)),
         slots=jnp.zeros((npad, K, CROSS_FIELDS), jnp.float32),
     )
+    kerr = kcfg.geodesics == "kerr"
+    if kerr:
+        work["mom"] = padded(state["mom"])
     # The ladder's masked retrace (and any tracer round after the first)
     # hands us a sparse active set; a dense primary trace (every ray
     # active) skips the pointless identity compaction.
@@ -343,20 +347,25 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     def do_round(work, compact: bool, first: bool):
         act_f = work["act"]
-        rays = jnp.concatenate(
-            [
-                work["pos"], work["dir"], work["h"][:, None],
-                act_f[:, None], work["amount_ub"][:, None],
-                work["steps"][:, None],
-            ],
-            axis=-1,
+        fields = [
+            work["pos"], work["dir"], work["h"][:, None],
+            act_f[:, None], work["amount_ub"][:, None],
+            work["steps"][:, None],
+        ]
+        if kerr:
+            fields.append(work["mom"])
+        rays = jnp.concatenate(fields, axis=-1)
+        # Euler pseudo-Newtonian marches go through the custom_vjp wrapper:
+        # primal cost is identical (fwd rule = the same kernel), and under
+        # jax.grad the backward replays via the rematerialized jnp mirror
+        # (bhx.kernels.march_grad).  RK45's adaptive controller and the
+        # Kerr Hamiltonian have no mirror — gradients for those use
+        # march_mode="diff".
+        kernel = (
+            march_pallas_diff
+            if (kcfg.integrator == "euler" and not kerr)
+            else march_pallas
         )
-        # Euler marches go through the custom_vjp wrapper: primal cost is
-        # identical (fwd rule = the same kernel), and under jax.grad the
-        # backward replays via the rematerialized jnp mirror
-        # (bhx.kernels.march_grad).  RK45's adaptive controller has no
-        # mirror — gradients for it use march_mode="diff".
-        kernel = march_pallas_diff if kcfg.integrator == "euler" else march_pallas
         if compact:
             # Sparse active sets (ladder retrace, round >= 2 re-entries):
             # gather the actives into the smallest capacity tier that fits
@@ -367,7 +376,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             # below masks with `active`.
             m = act_f > 0.5
             na = jnp.sum(m.astype(jnp.int32))
-            fout = OUT_FIXED + CROSS_FIELDS * K
+            fout = kcfg.out_fields
             tiers = []
             for div in (64, 8):
                 c = max(kcfg.lanes, (npad // div // kcfg.lanes) * kcfg.lanes)
@@ -376,11 +385,17 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
             def capped(c):
                 def f(_):
-                    idx = jnp.nonzero(m, size=c, fill_value=npad - 1)[0]
-                    out_small = kernel(rays[idx], params, kcfg)
+                    # fill_value=npad (out of bounds) + mode="drop": fill
+                    # rows scatter nowhere, so under jax.grad they receive
+                    # zero cotangent — duplicate in-bounds fills would make
+                    # the scatter transpose overcount a real ray's gradient.
+                    idx = jnp.nonzero(m, size=c, fill_value=npad)[0]
+                    out_small = kernel(
+                        jnp.take(rays, idx, axis=0, mode="clip"), params, kcfg
+                    )
                     return (
                         jnp.zeros((npad, fout), jnp.float32)
-                        .at[idx].set(out_small)
+                        .at[idx].set(out_small, mode="drop")
                     )
 
                 return f
@@ -403,6 +418,11 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         active = act_f > 0.5
         pos = jnp.where(active[:, None], out[:, 0:3], work["pos"])
         direction = jnp.where(active[:, None], out[:, 3:6], work["dir"])
+        if kerr:
+            work = dict(work)
+            work["mom"] = jnp.where(
+                active[:, None], out[:, -3:], work["mom"]
+            )
         h_new = jnp.where(active, out[:, 10], work["h"])
         amount_ub = jnp.where(active, out[:, 11], work["amount_ub"])
         steps = work["steps"] + jnp.where(active, out[:, 6], 0.0)
@@ -420,7 +440,9 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # this tracks how many were dropped (bounded by tests).
         true_count = work["true_count"] + jnp.where(active, out[:, 12], 0.0)
         if cfg.show_disk:
-            round_slots = out[:, OUT_FIXED:].reshape(npad, K, CROSS_FIELDS)
+            round_slots = out[
+                :, OUT_FIXED:OUT_FIXED + K * CROSS_FIELDS
+            ].reshape(npad, K, CROSS_FIELDS)
             round_valid = (round_slots[:, :, 6] > 0.5) & active[:, None]
             round_slots = round_slots * round_valid[:, :, None]
             round_count = round_valid.sum(-1).astype(jnp.float32)
@@ -528,6 +550,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         + jnp.where(was_f, work["steps"], 0.0).astype(jnp.int32),
         status=status,
     )
+    if kerr:
+        new_state["mom"] = jnp.where(
+            was_f[:, None], work["mom"], state["mom"]
+        )
     return new_state
 
 
@@ -535,9 +561,10 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
                  sparse: bool = False, first_phase: bool = True):
     """Masked geodesic march for rays with status 1 (reference inside
     branch, ray.wgsl:522-553)."""
-    if cfg.march_mode in ("pallas", "pallas_interpret") and cfg.geodesics != "kerr":
-        # The Pallas kernel implements the pseudo-Newtonian force; exact
-        # Kerr (autodiff Hamiltonian) runs the jnp path below.
+    if cfg.march_mode in ("pallas", "pallas_interpret"):
+        # Both forces run on the kernel: the reference's pseudo-Newtonian
+        # bending (ray.wgsl:401-403) and exact Kerr (Hamiltonian RK4 in
+        # Kerr-Schild coordinates, mirroring bhx.kerr).
         return _march_phase_pallas(
             state, scene, cfg, cam_dist, sparse=sparse, first_phase=first_phase
         )
@@ -707,10 +734,7 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
     squeezes them out, so the cost of a masked trace tracks the True count.
     """
     bh = scene.black_hole
-    deferred = (
-        cfg.march_mode in ("pallas", "pallas_interpret")
-        and cfg.geodesics != "kerr"
-    )
+    deferred = cfg.march_mode in ("pallas", "pallas_interpret")
     state = _init_state(origins, directions, deferred=deferred)
     if active is not None:
         state["status"] = jnp.where(active, state["status"], jnp.int32(2))

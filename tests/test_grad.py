@@ -20,21 +20,21 @@ import pytest
 from bhx.pipeline import render
 from tests.common import DIFF_CFG, small_scene
 
-CFG = dataclasses.replace(DIFF_CFG, width=32, height=18, max_iterations=150)
+CFG = dataclasses.replace(DIFF_CFG, width=40, height=24, max_iterations=200)
 
 
-def _image_fn(update_scene):
+def _image_fn(update_scene, cfg):
     scene = small_scene()
 
     def f(theta):
-        return render(update_scene(scene, theta), CFG)
+        return render(update_scene(scene, theta), cfg)
 
     return f
 
 
 def _check_grad_parity(update_scene, theta0, eps, min_stable_frac=0.5,
-                       atol=3e-3, rtol=0.15):
-    f = jax.jit(_image_fn(update_scene))
+                       atol=3e-3, rtol=0.15, cfg=CFG):
+    f = jax.jit(_image_fn(update_scene, cfg))
     theta0 = jnp.float32(theta0)
 
     # Forward-mode AD pixel derivative.
@@ -88,6 +88,81 @@ def test_grad_wrt_disk_outer():
         return dataclasses.replace(scene, black_hole=bh)
 
     _check_grad_parity(upd, 10.0, eps=1e-2)
+
+
+@pytest.mark.slow
+def test_grad_wrt_spin_kerr():
+    """FD parity for the Kerr spin gradient (exact-geodesic diff path).
+
+    The reference has no spin at all (its force is ray.wgsl:401-403); spin
+    gradients are a new capability and this is their parity gate."""
+    def upd(scene, theta):
+        bh = dataclasses.replace(scene.black_hole, spin=theta)
+        return dataclasses.replace(scene, black_hole=bh)
+
+    cfg = dataclasses.replace(
+        CFG, geodesics="kerr", width=32, height=18, max_iterations=150
+    )
+    _check_grad_parity(upd, 0.5, eps=2e-3, cfg=cfg)
+
+
+@pytest.mark.slow
+def test_grad_wrt_disk_rotation_z():
+    def upd(scene, theta):
+        bh = dataclasses.replace(
+            scene.black_hole,
+            disk_rotation=scene.black_hole.disk_rotation
+            + jnp.array([0.0, 0.0, 1.0]) * theta,
+        )
+        return dataclasses.replace(scene, black_hole=bh)
+
+    _check_grad_parity(upd, 0.0, eps=2e-3)
+
+
+@pytest.mark.slow
+def test_grad_wrt_fov():
+    def upd(scene, theta):
+        cam = dataclasses.replace(scene.camera, fov=theta)
+        return dataclasses.replace(scene, camera=cam)
+
+    _check_grad_parity(upd, 1.0, eps=1e-3)
+
+
+@pytest.mark.slow
+def test_grad_wrt_camera_yaw():
+    """Forward-direction gradient: yaw the camera about +y."""
+    def upd(scene, theta):
+        fwd = scene.camera.forward
+        right = jnp.cross(jnp.array([0.0, -1.0, 0.0]), fwd)
+        new_fwd = fwd + right * theta
+        cam = dataclasses.replace(
+            scene.camera, forward=new_fwd / jnp.linalg.norm(new_fwd)
+        )
+        return dataclasses.replace(scene, camera=cam)
+
+    _check_grad_parity(upd, 0.0, eps=1e-3)
+
+
+@pytest.mark.slow
+def test_grad_wrt_mass_ladder_on():
+    """Gradient parity THROUGH the coarse-to-fine ladder (the reference's
+    adaptive grid, ray.wgsl:183-241) on the kernel path: the ladder stays
+    enabled for march_mode="pallas" (pipeline.py), whose Euler custom_vjp
+    replays the jnp mirror under jax.grad; the interp-or-retrace select is
+    piecewise-smooth, so AD must match FD away from decision boundaries."""
+    from bhx.config import LadderConfig
+
+    def upd(scene, theta):
+        bh = dataclasses.replace(scene.black_hole, mass=theta)
+        return dataclasses.replace(scene, black_hole=bh)
+
+    cfg = dataclasses.replace(
+        CFG, use_ladder=True, width=40, height=23,
+        ladder=LadderConfig(base=(14, 9), multiplier=3, levels=2),
+        max_iterations=128, march_mode="pallas_interpret",
+        pallas_vote_every=4, pallas_sublanes=8, pallas_unroll=4,
+    )
+    _check_grad_parity(upd, 0.5, eps=1e-3, cfg=cfg, min_stable_frac=0.4)
 
 
 @pytest.mark.slow

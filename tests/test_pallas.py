@@ -47,6 +47,33 @@ def test_pallas_rk45_matches_jnp():
     )
 
 
+@pytest.mark.slow
+def test_pallas_kerr_matches_jnp():
+    """The in-kernel Kerr march (Hamiltonian RK4, Kerr-Schild coordinates)
+    must reproduce the jnp bhx.kerr path — same physics, same deferred
+    compositing (the reference has no spin at all; its force is
+    ray.wgsl:401-403)."""
+    import jax.numpy as jnp
+
+    scene = small_scene()
+    bh = dataclasses.replace(scene.black_hole, spin=jnp.float32(0.8))
+    scene_k = dataclasses.replace(scene, black_hole=bh)
+    cfg_jnp = dataclasses.replace(
+        FAST_CFG, geodesics="kerr", max_iterations=200
+    )
+    cfg_pl = dataclasses.replace(
+        cfg_jnp, march_mode="pallas_interpret", pallas_vote_every=4,
+        pallas_sublanes=8, pallas_unroll=4,
+    )
+    img_jnp = np.asarray(trace_image(scene_k, cfg_jnp, 48, 27))
+    img_pl = np.asarray(trace_image(scene_k, cfg_pl, 48, 27))
+    # Kerr's adaptive step size makes step counts (and hence the few-iters
+    # alpha classification) slightly more fragile than Euler's fixed h;
+    # allow a slightly larger differing-pixel fraction.
+    bad = (np.abs(img_jnp - img_pl) > 3e-3).any(-1).mean()
+    assert bad <= 0.03, f"{bad:.2%} pixels differ"
+
+
 def test_shade_kernel_matches_jnp_reference():
     """shade_ingredients (interpret) == its jnp reference on synthetic
     crossing slots (the kernel's atan2 polynomial is the only divergence,
