@@ -240,26 +240,30 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
 
 def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
                         sparse: bool = False, first_phase: bool = True):
-    """Pallas-kernel march with multi-round compaction and deferred shading.
+    """Pallas-kernel march with deferred shading; no host-side compaction.
 
-    The kernel marches a tile of 1024 rays until all its lanes finish —
-    which makes a tile as slow as its slowest ray (photon-sphere orbiters
-    run the full iteration budget while the mean ray takes ~250 steps).
-    Rounds fix that: march at most ``cfg.pallas_round_steps`` steps,
-    stable-partition still-active rays to the front (one cumsum + scatter,
-    no sort) so long-runners compact into a few tiles, and repeat inside a
-    lax.while_loop that stops as soon as no lane is active; finished tiles
-    exit their kernel loop after one vote, so total cost tracks the sum of
-    per-ray steps instead of the per-tile max (SURVEY.md §7 hard part 1
-    "periodic compaction").  Per-ray budgets ride into the kernel (input
-    field 9 + params "budget") so the multi-round budget semantics equal a
-    single call's.
+    Sparse active sets (the ladder's needs-retrace mask, round >= 2
+    re-entries) ride into the kernel as the per-lane activity mask, NOT
+    through a gather/scatter compaction: the kernel's while cond votes
+    before the first block, so an all-dead tile costs only its VMEM
+    streaming, and the active set is spatially clustered in image order
+    (the disk/shadow region), so tile-granular early exit already tracks
+    the active count.  Measured at the real 1080p final ladder level
+    (scripts/bisect_l3.py, 14.8%% active): uncompacted kernel 13.5 ms vs
+    262 ms for stable-partition + two full-frame row permutes — TPU row
+    gathers at (N, F) scale are ~400x off HBM roofline, so moving rays
+    costs far more than letting dead lanes stream by (SURVEY.md §7 hard
+    part 1, revised from the round-2 design).
 
-    Crossing slots recorded by each round are merged into per-ray
-    accumulators (cheap selects) and shaded *once* after the last round —
-    texture/LUT gathers happen exactly one time per ray regardless of the
-    round count.  Compositing order is preserved because slots accumulate
-    in crossing order and shading depends only on crossing geometry.
+    Multi-round marching (``cfg.pallas_round_steps`` < max_iterations)
+    still works: per-ray budgets ride into the kernel (input field 9 +
+    params "budget"), rounds repeat in a lax.while_loop that stops when no
+    lane is active.  Crossing slots recorded by each round are merged into
+    per-ray accumulators (cheap selects) and shaded *once* after the last
+    round — texture/LUT gathers happen exactly one time per ray regardless
+    of the round count.  Compositing order is preserved because slots
+    accumulate in crossing order and shading depends only on crossing
+    geometry.
     """
     from bhx.kernels.march_grad import march_pallas_diff
     from bhx.kernels.march_pallas import (
@@ -324,28 +328,8 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     kerr = kcfg.geodesics == "kerr"
     if kerr:
         work["mom"] = padded(state["mom"])
-    # The ladder's masked retrace (and any tracer round after the first)
-    # hands us a sparse active set; a dense primary trace (every ray
-    # active) skips the pointless identity compaction.
-    sparse_first = sparse
 
-    def _partition(act):
-        """Stable partition (actives first): gather index ``order`` and its
-        inverse ``dest`` from one cumsum + one scatter — no sort."""
-        m = (act > 0.5).astype(jnp.int32)
-        na = jnp.sum(m)
-        pos_a = jnp.cumsum(m) - 1
-        pos_i = na + jnp.cumsum(1 - m) - 1
-        dest = jnp.where(m == 1, pos_a, pos_i)
-        nn = act.shape[0]
-        order = (
-            jnp.zeros((nn,), jnp.int32)
-            .at[dest]
-            .set(jnp.arange(nn, dtype=jnp.int32))
-        )
-        return order, dest
-
-    def do_round(work, compact: bool, first: bool):
+    def do_round(work, first: bool):
         act_f = work["act"]
         fields = [
             work["pos"], work["dir"], work["h"][:, None],
@@ -366,54 +350,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             if (kcfg.integrator == "euler" and not kerr)
             else march_pallas
         )
-        if compact:
-            # Sparse active sets (ladder retrace, round >= 2 re-entries):
-            # gather the actives into the smallest capacity tier that fits
-            # and march only that buffer, so kernel launch + permute
-            # traffic track the active count instead of the frame size
-            # (full-frame (N, F) permute gathers measured ~200 ms at 1080p
-            # on v5e).  Inactive rows of `out` are zeros — every consumer
-            # below masks with `active`.
-            m = act_f > 0.5
-            na = jnp.sum(m.astype(jnp.int32))
-            fout = kcfg.out_fields
-            tiers = []
-            for div in (64, 8):
-                c = max(kcfg.lanes, (npad // div // kcfg.lanes) * kcfg.lanes)
-                if c < npad and c not in tiers:
-                    tiers.append(c)
-
-            def capped(c):
-                def f(_):
-                    # fill_value=npad (out of bounds) + mode="drop": fill
-                    # rows scatter nowhere, so under jax.grad they receive
-                    # zero cotangent — duplicate in-bounds fills would make
-                    # the scatter transpose overcount a real ray's gradient.
-                    idx = jnp.nonzero(m, size=c, fill_value=npad)[0]
-                    out_small = kernel(
-                        jnp.take(rays, idx, axis=0, mode="clip"), params, kcfg
-                    )
-                    return (
-                        jnp.zeros((npad, fout), jnp.float32)
-                        .at[idx].set(out_small, mode="drop")
-                    )
-
-                return f
-
-            def full(_):
-                order, dest = _partition(act_f)
-                return kernel(rays[order], params, kcfg)[dest]
-
-            branch = full
-            for c in sorted(tiers, reverse=True):
-                branch = (
-                    lambda c=c, nxt=branch: lambda op: jax.lax.cond(
-                        na <= c, capped(c), nxt, op
-                    )
-                )()
-            out = branch(0)
-        else:
-            out = kernel(rays, params, kcfg)
+        # Sparse active sets run uncompacted: an all-dead tile's while
+        # cond votes false before its first block, so it costs only VMEM
+        # streaming (see the function docstring for measurements).
+        out = kernel(rays, params, kcfg)
 
         active = act_f > 0.5
         pos = jnp.where(active[:, None], out[:, 0:3], work["pos"])
@@ -471,13 +411,13 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         return work
 
     if n_rounds == 1:
-        work = do_round(work, compact=sparse_first, first=True)
+        work = do_round(work, first=True)
     else:
-        work = do_round(work, compact=sparse_first, first=True)
+        work = do_round(work, first=True)
 
         def round_body(carry):
             r, w = carry
-            return r + 1, do_round(w, compact=True, first=False)
+            return r + 1, do_round(w, first=False)
 
         def round_cond(carry):
             r, w = carry

@@ -28,13 +28,18 @@ def main():
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args()
 
+    from bhx import assets
     from bhx.config import RenderConfig
     from bhx.parallel import bench_scaling, init_distributed
     from bhx.scene import Scene
 
     init_distributed()
     cfg = RenderConfig(width=args.width, height=args.height)
-    scene = Scene.default(64, 64)
+    scene = Scene.default(
+        disk_texture=assets.disk_texture(64),
+        sky_texture=assets.sky_texture(128, 64, num_stars=200),
+        temp_lut=assets.blackbody_lut(64, 16),
+    )
     rows = bench_scaling(
         scene, cfg, repeats=args.repeats, width=args.width, height=args.height
     )

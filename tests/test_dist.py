@@ -55,22 +55,25 @@ def test_sharded_trace_handles_ragged_rows():
 def test_bench_scaling_harness():
     """The scaling harness (BASELINE.md 'N-host scaling eff.') runs on the
     virtual mesh and reports sane rows.  Virtual devices share 2 host
-    cores, so wall-clock efficiency is meaningless here — the harness's
-    efficiency numbers are asserted only for shape/finiteness; real
-    efficiency gates run on hardware (SCALING.json records the platform).
+    cores, so hardware-scaling ``efficiency`` is meaningless here; what IS
+    measurable is ``overhead_efficiency`` — the 8-way-sharded program must
+    deliver >= 0.8x the single-device throughput on the same total work,
+    or GSPMD partitioning itself is adding cost.  Real hardware-scaling
+    gates run on chips (SCALING.json records the platform).
     """
     from bhx.parallel import bench_scaling
 
     scene = small_scene()
     cfg = dataclasses.replace(FAST_CFG, width=48, height=40)
     rows = bench_scaling(
-        scene, cfg, device_counts=[1, 2, 4, 8], repeats=1, width=48, height=40
+        scene, cfg, device_counts=[1, 2, 4, 8], repeats=3, width=48, height=40
     )
     assert [r["devices"] for r in rows] == [1, 2, 4, 8]
     for r in rows:
         assert np.isfinite(r["rays_per_s"]) and r["rays_per_s"] > 0
         assert np.isfinite(r["efficiency"]) and r["efficiency"] > 0
     assert rows[0]["efficiency"] == 1.0
+    assert rows[-1]["overhead_efficiency"] >= 0.8, rows[-1]
 
 
 @pytest.mark.slow
