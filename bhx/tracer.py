@@ -682,11 +682,22 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
 
     for r in range(rounds):
         state = _straight_phase(state, scene, cfg, cam_dist)
-        state = _march_phase(
-            state, scene, cfg, cam_dist,
-            sparse=(active is not None) or r > 0,
-            first_phase=(r == 0),
+        march = partial(
+            _march_phase, scene=scene, cfg=cfg, cam_dist=cam_dist,
+            sparse=(active is not None) or r > 0, first_phase=(r == 0),
         )
+        if r == 0:
+            state = march(state)
+        else:
+            # Re-entry rounds (a feather-blended exit direction can point
+            # back into the convex relativity sphere — the reference
+            # re-tests entry every outside step, ray.wgsl:554-569) are
+            # usually EMPTY; gate the whole march phase on any-active so
+            # the common case pays one conditional pass-through instead of
+            # a full-frame march phase (~30 ms at 1080p).
+            state = jax.lax.cond(
+                jnp.any(state["status"] == 1), march, lambda s: s, state
+            )
     # Rays still wanting a straight phase after the last march get it once
     # more; any that would re-enter yet again are treated as escapes.
     state = _straight_phase(state, scene, cfg, cam_dist)
