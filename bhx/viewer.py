@@ -62,6 +62,18 @@ input[type=range] { width:100% }
     <input type="range" id="max_iter" min="100" max="4000" step="100" value="800"></label>
   <label><input type="checkbox" id="paused"> pause</label>
   <button id="step_btn">step time +0.1</button>
+  <hr>
+  <b>model</b>
+  <label><input type="checkbox" id="mesh_enabled"> mesh (cube or OBJ)</label>
+  <label>OBJ path (server-side)
+    <input type="text" id="obj_path" placeholder="empty = cube" style="width:100%"></label>
+  <label><input type="checkbox" id="mesh_visible" checked> visible</label>
+  <label>x <span id="mesh_x_v"></span>
+    <input type="range" id="mesh_x" min="-40" max="40" step="0.5" value="6"></label>
+  <label>y <span id="mesh_y_v"></span>
+    <input type="range" id="mesh_y" min="-40" max="40" step="0.5" value="0"></label>
+  <label>z <span id="mesh_z_v"></span>
+    <input type="range" id="mesh_z" min="-60" max="40" step="0.5" value="-30"></label>
   <div style="margin-top:10px">WASD/QE move, drag look, wheel fov</div>
 </div>
 <script>
@@ -88,6 +100,9 @@ function state() {
     ladder:g('ladder').checked, kerr:g('kerr').checked,
     integrator:g('integrator').value, step_size:+g('step_size').value,
     max_iter:+g('max_iter').value,
+    mesh_enabled:g('mesh_enabled').checked, obj_path:g('obj_path').value,
+    mesh_visible:g('mesh_visible').checked,
+    mesh_pos:[+g('mesh_x').value, +g('mesh_y').value, +g('mesh_z').value],
   };
 }
 async function render() {
@@ -160,6 +175,47 @@ class ViewerServer:
         self.max_iterations = max_iterations
         self.march_mode = march_mode
         self._lock = threading.Lock()
+        self._mesh_cache: dict = {}
+
+    def _get_mesh(self, obj_path: str):
+        """Base mesh arrays for the model panel (cached per path).
+
+        Reference per-mesh settings (src/ui/model_settings.rs:14-54):
+        position drag + visibility; both are traced scene leaves here, so
+        moving/hiding a mesh never recompiles — only loading a new OBJ
+        (new array shapes) does.
+        """
+        key = obj_path or "__cube__"
+        if key not in self._mesh_cache:
+            from bhx.geometry.obj import make_mesh
+
+            if obj_path:
+                self._mesh_cache[key] = make_mesh(obj_path, name="obj")
+            else:
+                import numpy as _np
+
+                half = 1.5
+                v = _np.array(
+                    [[x, y, z] for x in (-1, 1) for y in (-1, 1)
+                     for z in (-1, 1)], _np.float32) * half
+                faces = [
+                    [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+                    [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+                    [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+                ]
+                tri = _np.array(faces, _np.int32)
+                fn = []
+                for t in range(len(faces)):
+                    a, b, c = v[tri[t]]
+                    nrm = _np.cross(b - a, c - a)
+                    fn.append(nrm / _np.linalg.norm(nrm))
+                norm = _np.array(fn, _np.float32)
+                tn = (_np.arange(len(faces), dtype=_np.int32)[:, None]
+                      * _np.ones((1, 3), _np.int32))
+                self._mesh_cache[key] = make_mesh(
+                    (v, norm, tri, tn), name="cube", scale=1.0, flip_y=False
+                )
+        return self._mesh_cache[key]
 
     def render_frame(self, req: dict) -> bytes:
         import jax.numpy as jnp
@@ -176,7 +232,18 @@ class ViewerServer:
         from bhx.scene import Scene
 
         with self._lock:
-            scene = Scene.default()
+            meshes = ()
+            if req.get("mesh_enabled"):
+                mesh = self._get_mesh(str(req.get("obj_path", "")).strip())
+                mesh = dataclasses.replace(
+                    mesh,
+                    position=jnp.asarray(
+                        req.get("mesh_pos", [6.0, 0.0, -30.0]), jnp.float32
+                    ),
+                    visible=jnp.asarray(bool(req.get("mesh_visible", True))),
+                )
+                meshes = (mesh,)
+            scene = Scene.default(meshes=meshes)
             bh = dataclasses.replace(
                 scene.black_hole,
                 mass=jnp.float32(req.get("mass", 0.5)),

@@ -64,9 +64,11 @@ def test_bench_scaling_harness():
     from bhx.parallel import bench_scaling
 
     scene = small_scene()
-    cfg = dataclasses.replace(FAST_CFG, width=48, height=40)
+    # Enough rows per device (10 at n=8) to amortize per-shard dispatch;
+    # at 48x40 the 8-way split leaves 5 rows/device and overhead shows.
+    cfg = dataclasses.replace(FAST_CFG, width=96, height=80)
     rows = bench_scaling(
-        scene, cfg, device_counts=[1, 2, 4, 8], repeats=3, width=48, height=40
+        scene, cfg, device_counts=[1, 2, 4, 8], repeats=3, width=96, height=80
     )
     assert [r["devices"] for r in rows] == [1, 2, 4, 8]
     for r in rows:
