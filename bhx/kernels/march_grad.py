@@ -91,7 +91,8 @@ def step_pure(s, sc, kcfg: MarchKernelConfig):
     (march_pallas._kernel substep), crossing slots carried in the state.
 
     ``s``: dict of per-ray arrays — px py pz dx dy dz h act steps steps0
-    closest2 count amount_ub horizon exited slots (slots: (N, K*7)).
+    closest2 count amount_ub horizon exited slots (slots: (K*7, N)
+    field-major, matching the kernel's output rows).
     ``sc``: scalar dict.  Must stay operation-for-operation identical to
     the in-kernel substep so the replayed trajectory (and hence the
     adjoint) matches the forward (guarded by the parity test).
@@ -182,17 +183,17 @@ def step_pure(s, sc, kcfg: MarchKernelConfig):
         od_lb = jnp.where(x < 1.0, x * x, x)
         op_lb = jnp.clip(od_lb * 0.2, 0.0, 1.0) * kcfg.tex_opacity_min
 
-        new_cols = []
+        new_rows = []
         hit_vals = (hx, hy, hz, ndx, ndy, ndz)
         for k in range(K):
             put = crossing & (count == float(k))
             base = k * CROSS_FIELDS
             for f in range(6):
-                new_cols.append(
-                    jnp.where(put, hit_vals[f], slots[..., base + f])
+                new_rows.append(
+                    jnp.where(put, hit_vals[f], slots[base + f])
                 )
-            new_cols.append(jnp.where(put, 1.0, slots[..., base + 6]))
-        slots = jnp.stack(new_cols, axis=-1)
+            new_rows.append(jnp.where(put, 1.0, slots[base + 6]))
+        slots = jnp.stack(new_rows, axis=0)
         count = count + jnp.where(crossing, 1.0, 0.0)
         amount_ub = amount_ub * jnp.where(crossing, 1.0 - op_lb, 1.0)
 
@@ -285,12 +286,12 @@ def _run_steps(state, sc, kcfg: MarchKernelConfig, t: int):
 def march_jnp(rays, params, kcfg: MarchKernelConfig):
     """Step-exact jnp mirror of :func:`march_pallas` (Euler only).
 
-    Same I/O contract: rays (N, IN_FIELDS) -> (N, OUT_FIXED + 7K).
-    Differentiable; used as the recompute target of the backward rule and
-    as an interpret-free parity oracle in tests.
+    Same field-major I/O contract: rays (IN_FIELDS, N) ->
+    (OUT_FIXED + 7K, N).  Differentiable; used as the recompute target of
+    the backward rule and as an interpret-free parity oracle in tests.
     """
     assert kcfg.integrator == "euler", "jnp mirror supports Euler only"
-    assert rays.shape[-1] == IN_FIELDS
+    assert rays.shape[0] == IN_FIELDS
     sc = {
         k: params[_P[k]]
         for k in (
@@ -299,10 +300,10 @@ def march_jnp(rays, params, kcfg: MarchKernelConfig):
             "cutoff", "budget",
         )
     }
-    px0, py0, pz0 = rays[:, 0], rays[:, 1], rays[:, 2]
-    dx0, dy0, dz0 = rays[:, 3], rays[:, 4], rays[:, 5]
-    h0, act0, amount0, steps0 = rays[:, 6], rays[:, 7], rays[:, 8], rays[:, 9]
-    n = rays.shape[0]
+    px0, py0, pz0 = rays[0], rays[1], rays[2]
+    dx0, dy0, dz0 = rays[3], rays[4], rays[5]
+    h0, act0, amount0, steps0 = rays[6], rays[7], rays[8], rays[9]
+    n = rays.shape[1]
     K = kcfg.max_crossings
     zeros = jnp.zeros_like(px0)
 
@@ -315,26 +316,26 @@ def march_jnp(rays, params, kcfg: MarchKernelConfig):
         + (pz0 - sc["bh_z"]) ** 2,
         count=zeros, amount_ub=amount0,
         horizon=zeros, exited=zeros,
-        slots=jnp.zeros((n, K * CROSS_FIELDS), jnp.float32),
+        slots=jnp.zeros((K * CROSS_FIELDS, n), jnp.float32),
     )
     final = _run_steps(state, sc, kcfg, total_steps(kcfg))
 
-    cols = [None] * OUT_FIXED
-    cols[_OUT_FIXED["px"]] = final["px"]
-    cols[_OUT_FIXED["py"]] = final["py"]
-    cols[_OUT_FIXED["pz"]] = final["pz"]
-    cols[_OUT_FIXED["dx"]] = final["dx"]
-    cols[_OUT_FIXED["dy"]] = final["dy"]
-    cols[_OUT_FIXED["dz"]] = final["dz"]
-    cols[_OUT_FIXED["steps"]] = final["steps"]
-    cols[_OUT_FIXED["closest"]] = jnp.sqrt(final["closest2"])
-    cols[_OUT_FIXED["horizon"]] = final["horizon"]
-    cols[_OUT_FIXED["exited"]] = final["exited"]
-    cols[_OUT_FIXED["h"]] = final["h"]
-    cols[_OUT_FIXED["amount"]] = final["amount_ub"]
-    cols[_OUT_FIXED["count"]] = final["count"]
+    rows = [None] * OUT_FIXED
+    rows[_OUT_FIXED["px"]] = final["px"]
+    rows[_OUT_FIXED["py"]] = final["py"]
+    rows[_OUT_FIXED["pz"]] = final["pz"]
+    rows[_OUT_FIXED["dx"]] = final["dx"]
+    rows[_OUT_FIXED["dy"]] = final["dy"]
+    rows[_OUT_FIXED["dz"]] = final["dz"]
+    rows[_OUT_FIXED["steps"]] = final["steps"]
+    rows[_OUT_FIXED["closest"]] = jnp.sqrt(final["closest2"])
+    rows[_OUT_FIXED["horizon"]] = final["horizon"]
+    rows[_OUT_FIXED["exited"]] = final["exited"]
+    rows[_OUT_FIXED["h"]] = final["h"]
+    rows[_OUT_FIXED["amount"]] = final["amount_ub"]
+    rows[_OUT_FIXED["count"]] = final["count"]
     return jnp.concatenate(
-        [jnp.stack(cols, axis=-1), final["slots"]], axis=-1
+        [jnp.stack(rows, axis=0), final["slots"]], axis=0
     )
 
 

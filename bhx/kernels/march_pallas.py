@@ -31,8 +31,12 @@ around what the VPU does well:
   amortize the scalar-unit cond/branch overhead of the loop.
 
 The kernel runs in float32 (geodesics near the horizon need the mantissa;
-r^-5 in bf16 is hopeless).  Layouts: rays (T, 8, 8, 128) in / (T, F, 8, 128)
-out with F = 11 + 7K; scalar parameters ride in SMEM.
+r^-5 in bf16 is hopeless).  Layouts are FIELD-MAJOR end-to-end: rays
+(F_in, N) in / (F_out, N) out, viewed as (F, tiles, s8, 128) with the grid
+walking the tile axis through the BlockSpec index map — no relayout on
+either side (an (N, F) layout costs lane-granularity transposes,
+~20 ms/frame at 1080p; scripts/bisect_shade.py).  Scalar parameters ride
+in SMEM.
 """
 
 from __future__ import annotations
@@ -147,15 +151,15 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     cutoff = p("cutoff")
 
     px0 = rays_ref[0, 0]
-    py0 = rays_ref[0, 1]
-    pz0 = rays_ref[0, 2]
-    dx0 = rays_ref[0, 3]
-    dy0 = rays_ref[0, 4]
-    dz0 = rays_ref[0, 5]
-    h0 = rays_ref[0, 6]
-    act0 = rays_ref[0, 7]
-    amount0 = rays_ref[0, 8]
-    steps0 = rays_ref[0, 9]
+    py0 = rays_ref[1, 0]
+    pz0 = rays_ref[2, 0]
+    dx0 = rays_ref[3, 0]
+    dy0 = rays_ref[4, 0]
+    dz0 = rays_ref[5, 0]
+    h0 = rays_ref[6, 0]
+    act0 = rays_ref[7, 0]
+    amount0 = rays_ref[8, 0]
+    steps0 = rays_ref[9, 0]
     budget = p("budget")
 
     zeros = jnp.zeros_like(px0)
@@ -214,7 +218,7 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     for k in range(K):
         base = OUT_FIXED + k * CROSS_FIELDS
         for f in range(CROSS_FIELDS):
-            out_ref[0, base + f] = zeros
+            out_ref[base + f, 0] = zeros
 
     init = dict(
         px=px0, py=py0, pz=pz0, dx=dx0, dy=dy0, dz=dz0,
@@ -231,7 +235,7 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
     )
     if kerr:
         init.update(
-            qx=rays_ref[0, 10], qy=rays_ref[0, 11], qz=rays_ref[0, 12]
+            qx=rays_ref[10, 0], qy=rays_ref[11, 0], qz=rays_ref[12, 0]
         )
 
     def accel(qx, qy, qz, h2):
@@ -442,13 +446,13 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
                 for k in range(K):
                     base = OUT_FIXED + k * CROSS_FIELDS
                     put = jnp.logical_and(crossing, count == float(k))
-                    out_ref[0, base + 0] = jnp.where(put, hx, out_ref[0, base + 0])
-                    out_ref[0, base + 1] = jnp.where(put, hy, out_ref[0, base + 1])
-                    out_ref[0, base + 2] = jnp.where(put, hz, out_ref[0, base + 2])
-                    out_ref[0, base + 3] = jnp.where(put, ndx, out_ref[0, base + 3])
-                    out_ref[0, base + 4] = jnp.where(put, ndy, out_ref[0, base + 4])
-                    out_ref[0, base + 5] = jnp.where(put, ndz, out_ref[0, base + 5])
-                    out_ref[0, base + 6] = jnp.where(put, 1.0, out_ref[0, base + 6])
+                    out_ref[base + 0, 0] = jnp.where(put, hx, out_ref[base + 0, 0])
+                    out_ref[base + 1, 0] = jnp.where(put, hy, out_ref[base + 1, 0])
+                    out_ref[base + 2, 0] = jnp.where(put, hz, out_ref[base + 2, 0])
+                    out_ref[base + 3, 0] = jnp.where(put, ndx, out_ref[base + 3, 0])
+                    out_ref[base + 4, 0] = jnp.where(put, ndy, out_ref[base + 4, 0])
+                    out_ref[base + 5, 0] = jnp.where(put, ndz, out_ref[base + 5, 0])
+                    out_ref[base + 6, 0] = jnp.where(put, 1.0, out_ref[base + 6, 0])
 
             count = count + jnp.where(crossing, 1.0, 0.0)
             amount_ub = amount_ub * jnp.where(crossing, 1.0 - op_lb, 1.0)
@@ -505,50 +509,56 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
 
     final = jax.lax.while_loop(cond, body, init)
 
-    out_ref[0, _OUT_FIXED["px"]] = final["px"]
-    out_ref[0, _OUT_FIXED["py"]] = final["py"]
-    out_ref[0, _OUT_FIXED["pz"]] = final["pz"]
-    out_ref[0, _OUT_FIXED["dx"]] = final["dx"]
-    out_ref[0, _OUT_FIXED["dy"]] = final["dy"]
-    out_ref[0, _OUT_FIXED["dz"]] = final["dz"]
-    out_ref[0, _OUT_FIXED["steps"]] = final["steps"]
-    out_ref[0, _OUT_FIXED["closest"]] = jnp.sqrt(final["closest2"])
-    out_ref[0, _OUT_FIXED["horizon"]] = final["horizon"]
-    out_ref[0, _OUT_FIXED["exited"]] = final["exited"]
-    out_ref[0, _OUT_FIXED["h"]] = final["h"]
-    out_ref[0, _OUT_FIXED["amount"]] = final["amount_ub"]
-    out_ref[0, _OUT_FIXED["count"]] = final["count"]
+    out_ref[_OUT_FIXED["px"], 0] = final["px"]
+    out_ref[_OUT_FIXED["py"], 0] = final["py"]
+    out_ref[_OUT_FIXED["pz"], 0] = final["pz"]
+    out_ref[_OUT_FIXED["dx"], 0] = final["dx"]
+    out_ref[_OUT_FIXED["dy"], 0] = final["dy"]
+    out_ref[_OUT_FIXED["dz"], 0] = final["dz"]
+    out_ref[_OUT_FIXED["steps"], 0] = final["steps"]
+    out_ref[_OUT_FIXED["closest"], 0] = jnp.sqrt(final["closest2"])
+    out_ref[_OUT_FIXED["horizon"], 0] = final["horizon"]
+    out_ref[_OUT_FIXED["exited"], 0] = final["exited"]
+    out_ref[_OUT_FIXED["h"], 0] = final["h"]
+    out_ref[_OUT_FIXED["amount"], 0] = final["amount_ub"]
+    out_ref[_OUT_FIXED["count"], 0] = final["count"]
     if kerr:
         # Final conjugate momentum after the slot block — multi-round
         # marching resumes the Hamiltonian state from it.
         base = OUT_FIXED + CROSS_FIELDS * K
-        out_ref[0, base + 0] = final["qx"]
-        out_ref[0, base + 1] = final["qy"]
-        out_ref[0, base + 2] = final["qz"]
+        out_ref[base + 0, 0] = final["qx"]
+        out_ref[base + 1, 0] = final["qy"]
+        out_ref[base + 2, 0] = final["qz"]
 
 
 @functools.partial(jax.jit, static_argnames=("kcfg",))
 def march_pallas(rays, params, kcfg: MarchKernelConfig):
     """Run the march kernel.
 
-    rays: (N, kcfg.in_fields) float32 — px, py, pz, dx, dy, dz, h0, active,
-    amount, steps_done [, qx, qy, qz for geodesics="kerr"] — N a multiple
-    of kcfg.lanes.  params: (NUM_PARAMS,) float32 per _P.
-    Returns (N, kcfg.out_fields) float32 (OUT_FIXED + 7K fixed fields +
-    slots [, final momentum for kerr]).
+    rays: (kcfg.in_fields, N) float32 FIELD-MAJOR — px, py, pz, dx, dy, dz,
+    h0, active, amount, steps_done [, qx, qy, qz for geodesics="kerr"] —
+    N a multiple of kcfg.lanes.  params: (NUM_PARAMS,) float32 per _P.
+    Returns (kcfg.out_fields, N) float32 (OUT_FIXED fixed fields + 7K slot
+    fields [, final momentum for kerr]).
+
+    Field-major I/O is load-bearing for throughput: the (fields, N) ->
+    (fields, tiles, s8, 128) reshape is a free view and the grid indexes
+    the TILE axis through the BlockSpec index map, so there is no relayout
+    on either side.  The old (N, fields) layout forced lane-granularity
+    transposes costing ~20 ms/frame at 1080p (scripts/bisect_shade.py).
     """
-    n = rays.shape[0]
+    fin = kcfg.in_fields
+    fout = kcfg.out_fields
+    assert rays.shape[0] == fin, (
+        f"rays has {rays.shape[0]} fields, kcfg expects {fin}"
+    )
+    n = rays.shape[1]
     lanes = kcfg.lanes
     s8 = kcfg.sublanes
     assert n % lanes == 0, f"ray count {n} not a multiple of {lanes}"
-    assert rays.shape[-1] == kcfg.in_fields, (
-        f"rays has {rays.shape[-1]} fields, kcfg expects {kcfg.in_fields}"
-    )
     tiles = n // lanes
-    fin = kcfg.in_fields
-    fout = kcfg.out_fields
 
-    rays_t = rays.reshape(tiles, s8, 128, fin).transpose(0, 3, 1, 2)
+    rays_r = rays.reshape(fin, tiles, s8, 128)
     params2 = params.reshape(1, NUM_PARAMS)
 
     out = pl.pallas_call(
@@ -557,16 +567,16 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, fin, s8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((fin, 1, s8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, fout, s8, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((fout, 1, s8, 128), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, fout, s8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((fout, tiles, s8, 128), jnp.float32),
         interpret=kcfg.interpret,
-    )(params2, rays_t)
+    )(params2, rays_r)
 
-    return out.transpose(0, 2, 3, 1).reshape(n, fout)
+    return out.reshape(fout, n)
 
 
 def pack_params(black_hole, disk_normal, cfg) -> jnp.ndarray:

@@ -160,27 +160,27 @@ def _shade_kernel(params_ref, slots_ref, cam_ref, out_ref, *,
     for k in range(K):
         sbase = k * SLOT_FIELDS
         obase = k * ING_FIELDS
-        valid = slots_ref[0, sbase + 6]
+        valid = slots_ref[sbase + 6, 0]
 
         # Zero-init so skipped tiles hold a well-defined (ignored) record.
         for f in range(ING_FIELDS):
-            out_ref[0, obase + f] = zeros
+            out_ref[obase + f, 0] = zeros
 
         @pl.when(jnp.any(valid > 0.5))
         def _shade_k():
             od, m, tr, tg, tb, u, v = _slot_ingredients(
-                slots_ref[0, sbase + 0], slots_ref[0, sbase + 1],
-                slots_ref[0, sbase + 2], slots_ref[0, sbase + 3],
-                slots_ref[0, sbase + 4], slots_ref[0, sbase + 5],
+                slots_ref[sbase + 0, 0], slots_ref[sbase + 1, 0],
+                slots_ref[sbase + 2, 0], slots_ref[sbase + 3, 0],
+                slots_ref[sbase + 4, 0], slots_ref[sbase + 5, 0],
                 cam_dist, p, kcfg, xp=KXP,
             )
-            out_ref[0, obase + ING["od"]] = od
-            out_ref[0, obase + ING["m"]] = m
-            out_ref[0, obase + ING["tint_r"]] = tr
-            out_ref[0, obase + ING["tint_g"]] = tg
-            out_ref[0, obase + ING["tint_b"]] = tb
-            out_ref[0, obase + ING["u"]] = u
-            out_ref[0, obase + ING["v"]] = v
+            out_ref[obase + ING["od"], 0] = od
+            out_ref[obase + ING["m"], 0] = m
+            out_ref[obase + ING["tint_r"], 0] = tr
+            out_ref[obase + ING["tint_g"], 0] = tg
+            out_ref[obase + ING["tint_b"], 0] = tb
+            out_ref[obase + ING["u"], 0] = u
+            out_ref[obase + ING["v"], 0] = v
 
 
 def pack_shade_params(black_hole, rot_mat, time) -> jnp.ndarray:
@@ -198,14 +198,23 @@ def pack_shade_params(black_hole, rot_mat, time) -> jnp.ndarray:
 
 
 def _ingredients_pallas(slots, cam_dist, params, kcfg: ShadeKernelConfig):
-    n, K, _ = slots.shape
+    """slots (K*SLOT_FIELDS, N) field-major -> (K*ING_FIELDS, N).
+
+    Field-major I/O makes the (F, N) -> (F, tiles, s8, 128) reshape a free
+    view with the grid walking the tile axis — the old (N, K, 7) layout
+    forced lane-granularity transposes costing ~20 ms/frame at 1080p
+    (scripts/bisect_shade.py; same design as march_pallas).
+    """
+    K = kcfg.max_crossings
+    assert slots.shape[0] == K * SLOT_FIELDS
+    n = slots.shape[1]
     lanes = kcfg.lanes
     s8 = kcfg.sublanes
     pad = (-n) % lanes
     npad = n + pad
     if pad:
         slots = jnp.concatenate(
-            [slots, jnp.zeros((pad, K, SLOT_FIELDS), slots.dtype)], axis=0
+            [slots, jnp.zeros((K * SLOT_FIELDS, pad), slots.dtype)], axis=1
         )
         cam_dist = jnp.concatenate(
             [cam_dist, jnp.ones((pad,), cam_dist.dtype)], axis=0
@@ -214,10 +223,8 @@ def _ingredients_pallas(slots, cam_dist, params, kcfg: ShadeKernelConfig):
     fin = K * SLOT_FIELDS
     fout = K * ING_FIELDS
 
-    slots_t = (
-        slots.reshape(tiles, s8, 128, fin).transpose(0, 3, 1, 2)
-    )
-    cam_t = cam_dist.reshape(tiles, s8, 128)[:, None]
+    slots_r = slots.reshape(fin, tiles, s8, 128)
+    cam_r = cam_dist.reshape(1, tiles, s8, 128)
     params2 = params.reshape(1, NUM_SHADE_PARAMS)
 
     out = pl.pallas_call(
@@ -226,36 +233,39 @@ def _ingredients_pallas(slots, cam_dist, params, kcfg: ShadeKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_SHADE_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, fin, s8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((fin, 1, s8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s8, 128), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, s8, 128), lambda i: (0, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, fout, s8, 128), lambda i: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((fout, 1, s8, 128), lambda i: (0, i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tiles, fout, s8, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((fout, tiles, s8, 128), jnp.float32),
         interpret=kcfg.interpret,
-    )(params2, slots_t, cam_t)
+    )(params2, slots_r, cam_r)
 
-    out = out.transpose(0, 2, 3, 1).reshape(npad, K, ING_FIELDS)
-    return out[:n]
+    return out.reshape(fout, npad)[:, :n]
 
 
 def _ingredients_jnp(slots, cam_dist, params, kcfg: ShadeKernelConfig):
     """jnp reference of the shade kernel (used for the custom_vjp backward
-    and for interpret-free CPU parity tests)."""
+    and for interpret-free CPU parity tests).  Same field-major contract:
+    (K*SLOT_FIELDS, n) -> (K*ING_FIELDS, n)."""
     p = {name: params[i] for name, i in _SP.items()}
+    K = kcfg.max_crossings
+    s = slots.reshape(K, SLOT_FIELDS, -1)
     out = _slot_ingredients(
-        slots[..., 0], slots[..., 1], slots[..., 2],
-        slots[..., 3], slots[..., 4], slots[..., 5],
-        cam_dist[:, None], p, kcfg, xp=jnp,
+        s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4], s[:, 5],
+        cam_dist[None, :], p, kcfg, xp=jnp,
     )
-    return jnp.stack(out, axis=-1)
+    # (K, n) per ingredient -> (K, ING_FIELDS, n) -> (K*ING_FIELDS, n)
+    return jnp.stack(out, axis=1).reshape(K * ING_FIELDS, -1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def shade_ingredients(slots, cam_dist, params, kcfg: ShadeKernelConfig):
-    """Per-slot shading ingredients (n, K, 7): od, m, tint rgb, u, v.
+    """Per-slot shading ingredients, field-major (K*ING_FIELDS, n):
+    od, m, tint rgb, u, v per slot.
 
     Forward runs the Pallas kernel; backward re-derives through the jnp
     reference (recompute-based adjoint — shading is cheap to replay and
@@ -284,40 +294,45 @@ shade_ingredients.defvjp(_shade_fwd, _shade_bwd)
 def composite_ingredients(ing, valid, disk_gain, kcfg: ShadeKernelConfig):
     """Front-to-back composite of shaded slots: (color (n,3), trans (n,)).
 
-    jnp on (n, K) arrays — differentiable w.r.t. ``disk_gain`` (the coarse
-    learnable texture grid, sampled gather-free on the MXU) and, through
-    the ingredients' custom_vjp, w.r.t. scene geometry.  Semantics match
+    ``ing`` is field-major (K*ING_FIELDS, n); ``valid`` is (K, n).  jnp —
+    differentiable w.r.t. ``disk_gain`` (the coarse learnable texture
+    grid, sampled gather-free on the MXU) and, through the ingredients'
+    custom_vjp, w.r.t. scene geometry.  Semantics match
     bhx.shading.disk_shade + the reference compositing (ray.wgsl:571-580).
     """
-    od = ing[..., ING["od"]]
+    K = kcfg.max_crossings
+    g = ing.reshape(K, ING_FIELDS, -1)
+    od = g[:, ING["od"]]  # (K, n)
     opacity = jnp.clip(od * 0.2, 0.0, 1.0)
-    color_nk = jnp.broadcast_to(od[..., None], od.shape + (3,))
+    color_kn = jnp.broadcast_to(od[..., None], od.shape + (3,))  # (K, n, 3)
     if kcfg.show_texture:
-        m = ing[..., ING["m"]]
+        m = g[:, ING["m"]]
         if disk_gain is not None:
             from bhx.shading import sample_grid_mxu
 
-            gain = sample_grid_mxu(
-                disk_gain, ing[..., ING["u"]], ing[..., ING["v"]]
-            )
+            gain = sample_grid_mxu(disk_gain, g[:, ING["u"]], g[:, ING["v"]])
             tex_rgb = m[..., None] * gain[..., :3]
             tex_a = m * gain[..., 3]
         else:
             tex_rgb = m[..., None]
             tex_a = m
         opacity = opacity * jnp.clip(0.7 + tex_a * 0.5, 0.0, 1.0)
-        color_nk = color_nk * tex_rgb * tex_a[..., None]
+        color_kn = color_kn * tex_rgb * tex_a[..., None]
     if kcfg.show_redshift:
-        color_nk = color_nk * ing[..., ING["tint_r"]:ING["tint_b"] + 1]
+        tint = jnp.stack(
+            [g[:, ING["tint_r"]], g[:, ING["tint_g"]], g[:, ING["tint_b"]]],
+            axis=-1,
+        )
+        color_kn = color_kn * tint
 
-    rgb_nk = jnp.clip(color_nk, 0.0, 1.0)
-    op_nk = jnp.where(valid, opacity, 0.0)
-    trans = jnp.cumprod(1.0 - op_nk, axis=1)
+    rgb_kn = jnp.clip(color_kn, 0.0, 1.0)
+    op_kn = jnp.where(valid, opacity, 0.0)
+    trans = jnp.cumprod(1.0 - op_kn, axis=0)
     trans_before = jnp.concatenate(
-        [jnp.ones_like(trans[:, :1]), trans[:, :-1]], axis=1
+        [jnp.ones_like(trans[:1]), trans[:-1]], axis=0
     )
-    contrib = (trans_before * op_nk)[..., None] * rgb_nk
-    return contrib.sum(axis=1), trans[:, -1]
+    contrib = (trans_before * op_kn)[..., None] * rgb_kn
+    return contrib.sum(axis=0), trans[-1]
 
 
 # ---------------------------------------------------------------------------

@@ -70,6 +70,14 @@ def _pad_rows(h: int, n: int) -> int:
     return -(-h // n) * n
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _trace_flat(o, d, scene, cfg):
+    """Module-level jit so repeated sharded traces hit the cache (a
+    closure-local jit would recompile on every call — the round-3 scaling
+    harness measured exactly that)."""
+    return trace_rays_record(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
+
+
 def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                         width: int, height: int):
     """Dense trace with pixel rows sharded across the mesh.
@@ -91,11 +99,7 @@ def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     d = jax.device_put(d.reshape(hp * width, 3).reshape(n, -1, 3), row_sharding)
     scene_rep = jax.device_put(scene, NamedSharding(mesh, P()))
 
-    @partial(jax.jit, static_argnames=("cfg",))
-    def go(o, d, scene, cfg):
-        return trace_rays_record(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
-
-    out = go(o, d, scene_rep, cfg)
+    out = _trace_flat(o, d, scene_rep, cfg)
     return out.reshape(hp, width, 8)[:height]
 
 

@@ -114,7 +114,11 @@ def _init_state(origins, directions, deferred: bool = False):
 
         K = MarchKernelConfig.max_crossings
         state.update(
-            slots=jnp.zeros((n, K, CROSS_FIELDS), f),
+            # Crossing slots are FIELD-MAJOR (K*CROSS_FIELDS, n): row
+            # k*CROSS_FIELDS+f is slot k's field f — matching the march
+            # kernel's output rows so no lane-granularity relayout ever
+            # happens (march_pallas.py layout note).
+            slots=jnp.zeros((K * CROSS_FIELDS, n), f),
             count=jnp.zeros((n,), f),
             mesh_color=jnp.zeros((n, 3), f),
             mesh_hit=jnp.zeros((n,), bool),
@@ -132,16 +136,27 @@ def _init_state(origins, directions, deferred: bool = False):
 
 def _merge_slots(slots_a, count_a, slots_b, count_b, K: int):
     """Append slot list b after a's existing entries, preserving order:
-    merged[i] <- b[i - count_a] (O(K^2) selects, no gathers)."""
-    merged = slots_a
+    merged[i] <- b[i - count_a] (O(K^2) selects, no gathers).
+
+    Slots are field-major (K*CROSS_FIELDS, n); ``count`` masks broadcast
+    against the trailing ray axis for free.
+    """
+    from bhx.kernels.march_pallas import CROSS_FIELDS
+
+    a = slots_a.reshape(K, CROSS_FIELDS, -1)
+    b = slots_b.reshape(K, CROSS_FIELDS, -1)
+    merged = a
     for i in range(K):
-        take = jnp.zeros_like(slots_b[:, 0])
+        take = jnp.zeros_like(b[0])
         for j in range(0, i + 1):
-            sel = (count_a == float(i - j))[:, None]
-            take = jnp.where(sel, slots_b[:, j], take)
-        keep = (count_a > float(i))[:, None] | (slots_a[:, i, 6] > 0.5)[:, None]
-        merged = merged.at[:, i].set(jnp.where(keep, merged[:, i], take))
-    return merged, jnp.clip(count_a + count_b, 0.0, float(K))
+            sel = count_a == float(i - j)
+            take = jnp.where(sel, b[j], take)
+        keep = (count_a > float(i)) | (a[i, 6] > 0.5)
+        merged = merged.at[i].set(jnp.where(keep, merged[i], take))
+    return (
+        merged.reshape(slots_a.shape),
+        jnp.clip(count_a + count_b, 0.0, float(K)),
+    )
 
 
 def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
@@ -307,38 +322,39 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         return jnp.concatenate([x, jnp.full(shape, fill, x.dtype)], axis=0)
 
     was = state["status"] == 1
-    # All accumulators stay in ORIGINAL index space; only the packed kernel
-    # input/output arrays are permuted, so compaction costs one scatter +
-    # two single-array gathers per round instead of re-ordering the whole
-    # state dict (which measured ~0.4s/frame at 1080p).
+    kerr = kcfg.geodesics == "kerr"
+    # Ray state lives as one FIELD-MAJOR (in_fields, npad) array in the
+    # kernel's exact input layout, so each round's kernel call needs no
+    # concat and no relayout (march_pallas.py layout note); auxiliary
+    # accumulators are (npad,) rows.
+    rows = [
+        padded(state["pos"][:, 0]), padded(state["pos"][:, 1]),
+        padded(state["pos"][:, 2]),
+        padded(state["dir"][:, 0]), padded(state["dir"][:, 1]),
+        padded(state["dir"][:, 2]),
+        padded(state["h"]),
+        padded(was.astype(jnp.float32)),
+        padded(state["amount_ub"], fill=1.0),
+        padded(jnp.zeros((n,), jnp.float32)),  # cumulative steps
+    ]
+    if kerr:
+        rows += [
+            padded(state["mom"][:, 0]), padded(state["mom"][:, 1]),
+            padded(state["mom"][:, 2]),
+        ]
     work = dict(
-        pos=padded(state["pos"]),
-        dir=padded(state["dir"]),
-        h=padded(state["h"]),
-        act=padded(was.astype(jnp.float32)),
-        amount_ub=padded(state["amount_ub"], fill=1.0),
+        rs=jnp.stack(rows, axis=0),
         closest=padded(jnp.where(was, state["closest"], jnp.float32(1e9))),
-        steps=padded(jnp.zeros((n,), jnp.float32)),
         horizon=padded(jnp.zeros((n,), jnp.float32)),
         exited=padded(jnp.zeros((n,), jnp.float32)),
         count=padded(jnp.zeros((n,), jnp.float32)),
         true_count=padded(jnp.zeros((n,), jnp.float32)),
-        slots=jnp.zeros((npad, K, CROSS_FIELDS), jnp.float32),
+        slots=jnp.zeros((K * CROSS_FIELDS, npad), jnp.float32),
     )
-    kerr = kcfg.geodesics == "kerr"
-    if kerr:
-        work["mom"] = padded(state["mom"])
 
     def do_round(work, first: bool):
-        act_f = work["act"]
-        fields = [
-            work["pos"], work["dir"], work["h"][:, None],
-            act_f[:, None], work["amount_ub"][:, None],
-            work["steps"][:, None],
-        ]
-        if kerr:
-            fields.append(work["mom"])
-        rays = jnp.concatenate(fields, axis=-1)
+        rs = work["rs"]
+        act_f = rs[7]
         # Euler pseudo-Newtonian marches go through the custom_vjp wrapper:
         # primal cost is identical (fwd rule = the same kernel), and under
         # jax.grad the backward replays via the rematerialized jnp mirror
@@ -353,24 +369,20 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # Sparse active sets run uncompacted: an all-dead tile's while
         # cond votes false before its first block, so it costs only VMEM
         # streaming (see the function docstring for measurements).
-        out = kernel(rays, params, kcfg)
+        out = kernel(rs, params, kcfg)
 
         active = act_f > 0.5
-        pos = jnp.where(active[:, None], out[:, 0:3], work["pos"])
-        direction = jnp.where(active[:, None], out[:, 3:6], work["dir"])
-        if kerr:
-            work = dict(work)
-            work["mom"] = jnp.where(
-                active[:, None], out[:, -3:], work["mom"]
-            )
-        h_new = jnp.where(active, out[:, 10], work["h"])
-        amount_ub = jnp.where(active, out[:, 11], work["amount_ub"])
-        steps = work["steps"] + jnp.where(active, out[:, 6], 0.0)
+
+        def upd(new_row, old_row):
+            return jnp.where(active, new_row, old_row)
+
+        steps = rs[9] + jnp.where(active, out[6], 0.0)
+        amount_ub = upd(out[11], rs[8])
         closest = jnp.where(
-            active, jnp.minimum(work["closest"], out[:, 7]), work["closest"]
+            active, jnp.minimum(work["closest"], out[7]), work["closest"]
         )
-        horizon = jnp.maximum(work["horizon"], jnp.where(active, out[:, 8], 0.0))
-        exited = jnp.maximum(work["exited"], jnp.where(active, out[:, 9], 0.0))
+        horizon = jnp.maximum(work["horizon"], jnp.where(active, out[8], 0.0))
+        exited = jnp.maximum(work["exited"], jnp.where(active, out[9], 0.0))
 
         # Merge this round's crossing slots after the ray's existing ones.
         slots = work["slots"]
@@ -378,14 +390,14 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # True (uncapped) crossing count from the kernel: crossings beyond
         # the K record slots still attenuate amount_ub but are not shaded;
         # this tracks how many were dropped (bounded by tests).
-        true_count = work["true_count"] + jnp.where(active, out[:, 12], 0.0)
+        true_count = work["true_count"] + jnp.where(active, out[12], 0.0)
         if cfg.show_disk:
-            round_slots = out[
-                :, OUT_FIXED:OUT_FIXED + K * CROSS_FIELDS
-            ].reshape(npad, K, CROSS_FIELDS)
-            round_valid = (round_slots[:, :, 6] > 0.5) & active[:, None]
-            round_slots = round_slots * round_valid[:, :, None]
-            round_count = round_valid.sum(-1).astype(jnp.float32)
+            round_slots = out[OUT_FIXED:OUT_FIXED + K * CROSS_FIELDS]
+            rs_k = round_slots.reshape(K, CROSS_FIELDS, npad)
+            round_valid = (rs_k[:, 6] > 0.5) & active
+            rs_k = rs_k * round_valid[:, None, :]
+            round_slots = rs_k.reshape(K * CROSS_FIELDS, npad)
+            round_count = round_valid.sum(0).astype(jnp.float32)
             if first:
                 # No prior slots: this round's records ARE the slots.
                 slots, count = round_slots, jnp.clip(round_count, 0.0, float(K))
@@ -401,12 +413,25 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             & (amount_ub >= cfg.opacity_cutoff)
             & (steps < float(cfg.max_iterations))
         )
+        new_rows = [
+            upd(out[0], rs[0]), upd(out[1], rs[1]), upd(out[2], rs[2]),
+            upd(out[3], rs[3]), upd(out[4], rs[4]), upd(out[5], rs[5]),
+            upd(out[10], rs[6]),  # h
+            still.astype(jnp.float32),
+            amount_ub,
+            steps,
+        ]
+        if kerr:
+            base = OUT_FIXED + K * CROSS_FIELDS
+            new_rows += [
+                upd(out[base + 0], rs[10]), upd(out[base + 1], rs[11]),
+                upd(out[base + 2], rs[12]),
+            ]
         work = dict(work)
         work.update(
-            pos=pos, dir=direction, h=h_new, act=still.astype(jnp.float32),
-            amount_ub=amount_ub, closest=closest, steps=steps,
-            horizon=horizon, exited=exited, count=count, slots=slots,
-            true_count=true_count,
+            rs=jnp.stack(new_rows, axis=0),
+            closest=closest, horizon=horizon, exited=exited,
+            count=count, slots=slots, true_count=true_count,
         )
         return work
 
@@ -421,13 +446,29 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
         def round_cond(carry):
             r, w = carry
-            return jnp.logical_and(r < n_rounds - 1, jnp.any(w["act"] > 0.5))
+            return jnp.logical_and(
+                r < n_rounds - 1, jnp.any(w["rs"][7] > 0.5)
+            )
 
         _, work = jax.lax.while_loop(
             round_cond, round_body, (jnp.int32(0), work)
         )
 
-    work = {k: v[:n] for k, v in work.items()}
+    # Unpack the field-major work state back into the tracer's (n, 3)
+    # vectors (two small row->vector stacks; everything heavy stayed
+    # field-major through the rounds).
+    rs = work["rs"]
+    w_pos = jnp.stack([rs[0][:n], rs[1][:n], rs[2][:n]], axis=-1)
+    w_dir = jnp.stack([rs[3][:n], rs[4][:n], rs[5][:n]], axis=-1)
+    w_h = rs[6][:n]
+    w_amount = rs[8][:n]
+    w_steps = rs[9][:n]
+    w_closest = work["closest"][:n]
+    w_horizon = work["horizon"][:n]
+    w_exited = work["exited"][:n]
+    w_count = work["count"][:n]
+    w_true = work["true_count"][:n]
+    w_slots = work["slots"][:, :n]
     was_f = was
 
     # --- accumulate this phase's crossings into the deferred record; the
@@ -438,12 +479,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     state_true = state.get("true_count")
     if state_true is not None:
         state = dict(state)
-        state["true_count"] = state_true + jnp.where(
-            was, work["true_count"], 0.0
-        )
+        state["true_count"] = state_true + jnp.where(was, w_true, 0.0)
     if cfg.show_disk:
-        phase_slots = jnp.where(was_f[:, None, None], work["slots"], 0.0)
-        phase_count = jnp.where(was_f, work["count"], 0.0)
+        phase_slots = jnp.where(was_f, w_slots, 0.0)
+        phase_count = jnp.where(was_f, w_count, 0.0)
         if first_phase:
             slots_acc, count_acc = phase_slots, phase_count
         else:
@@ -451,19 +490,19 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
                 slots_acc, count_acc, phase_slots, phase_count, K
             )
         hit = hit | (phase_count > 0.5)
-    horizon_b = was_f & (work["horizon"] > 0.5)
+    horizon_b = was_f & (w_horizon > 0.5)
     hit = hit | horizon_b
-    amount_ub = jnp.where(was_f, work["amount_ub"], state["amount_ub"])
+    amount_ub = jnp.where(was_f, w_amount, state["amount_ub"])
     amount_ub = jnp.where(horizon_b, 0.0, amount_ub)
 
     # --- feather the exit direction (reference ray.wgsl:543-553) ---
-    exited_b = was_f & (work["exited"] > 0.5)
+    exited_b = was_f & (w_exited > 0.5)
     fw = bh.relativity_radius * bh.feather
     fs = bh.relativity_radius - fw
-    lin = jnp.clip((work["closest"] - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
+    lin = jnp.clip((w_closest - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
     mix_amount = (lin * lin)[:, None]
-    feathered = work["dir"] + (state["orig_dir"] - work["dir"]) * mix_amount
-    direction = jnp.where(exited_b[:, None], feathered, work["dir"])
+    feathered = w_dir + (state["orig_dir"] - w_dir) * mix_amount
+    direction = jnp.where(exited_b[:, None], feathered, w_dir)
 
     absorbed = was_f & (horizon_b | (amount_ub < cfg.opacity_cutoff))
     # Budget-capped rays (photon-sphere orbiters): neither exited nor
@@ -477,23 +516,22 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     new_state = dict(state)
     new_state.update(
-        pos=jnp.where(was_f[:, None], work["pos"], state["pos"]),
+        pos=jnp.where(was_f[:, None], w_pos, state["pos"]),
         dir=jnp.where(was_f[:, None], direction, state["dir"]),
-        h=jnp.where(was_f, work["h"], state["h"]),
+        h=jnp.where(was_f, w_h, state["h"]),
         hit=hit,
         slots=slots_acc,
         count=count_acc,
         horizon=state["horizon"] | horizon_b,
         amount_ub=amount_ub,
-        closest=jnp.where(was_f, work["closest"], state["closest"]),
+        closest=jnp.where(was_f, w_closest, state["closest"]),
         march_steps=state["march_steps"]
-        + jnp.where(was_f, work["steps"], 0.0).astype(jnp.int32),
+        + jnp.where(was_f, w_steps, 0.0).astype(jnp.int32),
         status=status,
     )
     if kerr:
-        new_state["mom"] = jnp.where(
-            was_f[:, None], work["mom"], state["mom"]
-        )
+        w_mom = jnp.stack([rs[10][:n], rs[11][:n], rs[12][:n]], axis=-1)
+        new_state["mom"] = jnp.where(was_f[:, None], w_mom, state["mom"])
     return new_state
 
 
@@ -762,15 +800,18 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
     (bhx.kernels.shade_pallas); the composite — including the learnable
     ``disk_gain`` grid — stays jnp and differentiable.
     """
+    from bhx.kernels.march_pallas import CROSS_FIELDS
+
     bh = scene.black_hole
     rot_mat, _ = bh.disk_frame()
     n = state["pos"].shape[0]
     color = jnp.zeros((n, 3), jnp.float32)
     trans_total = jnp.ones((n,), jnp.float32)
     if cfg.show_disk:
-        slots = state["slots"]  # (n, K, CROSS_FIELDS)
-        K = slots.shape[1]
-        valid_nk = slots[:, :, 6] > 0.5
+        slots = state["slots"]  # field-major (K*CROSS_FIELDS, n)
+        K = slots.shape[0] // CROSS_FIELDS
+        slots_k = slots.reshape(K, CROSS_FIELDS, n)
+        valid_kn = slots_k[:, 6] > 0.5
         if cfg.texture_mode == "procedural":
             from bhx.kernels.shade_pallas import (
                 ShadeKernelConfig,
@@ -789,28 +830,29 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
             params = pack_shade_params(bh, rot_mat, scene.time)
             ing = shade_ingredients(slots, cam_dist, params, kcfg)
             color, trans_total = composite_ingredients(
-                ing, valid_nk, scene.disk_gain, kcfg
+                ing, valid_kn, scene.disk_gain, kcfg
             )
         else:
-            cam_nk = jnp.broadcast_to(cam_dist[:, None], (n, K)).reshape(-1)
+            cam_kn = jnp.broadcast_to(cam_dist[None, :], (K, n)).reshape(-1)
+            pos_f = jnp.moveaxis(slots_k[:, 0:3], 1, 2).reshape(-1, 3)
+            dir_f = jnp.moveaxis(slots_k[:, 3:6], 1, 2).reshape(-1, 3)
             rgb_f, op_f = disk_shade(
-                slots[:, :, 0:3].reshape(-1, 3), slots[:, :, 3:6].reshape(-1, 3),
-                cam_nk, bh, rot_mat,
+                pos_f, dir_f, cam_kn, bh, rot_mat,
                 scene.disk_texture, scene.temp_lut, scene.time,
                 show_texture=cfg.show_disk_texture,
                 show_redshift=cfg.show_redshift,
                 texture_mode=cfg.texture_mode,
                 disk_gain=scene.disk_gain,
             )
-            rgb_nk = jnp.clip(rgb_f.reshape(n, K, 3), 0.0, 1.0)
-            op_nk = jnp.where(valid_nk, op_f.reshape(n, K), 0.0)
-            trans = jnp.cumprod(1.0 - op_nk, axis=1)
+            rgb_kn = jnp.clip(rgb_f.reshape(K, n, 3), 0.0, 1.0)
+            op_kn = jnp.where(valid_kn, op_f.reshape(K, n), 0.0)
+            trans = jnp.cumprod(1.0 - op_kn, axis=0)
             trans_before = jnp.concatenate(
-                [jnp.ones((n, 1), jnp.float32), trans[:, :-1]], axis=1
+                [jnp.ones((1, n), jnp.float32), trans[:-1]], axis=0
             )
-            contrib = (trans_before * op_nk)[..., None] * rgb_nk
-            color = contrib.sum(axis=1)
-            trans_total = trans[:, -1]
+            contrib = (trans_before * op_kn)[..., None] * rgb_kn
+            color = contrib.sum(axis=0)
+            trans_total = trans[-1]
     # Opaque mesh hit: weighted by the transmission through every recorded
     # crossing (all of which precede it on the ray).
     mesh_add = trans_total[:, None] * jnp.clip(state["mesh_color"], 0.0, 1.0)

@@ -78,9 +78,9 @@ def main():
         unroll=base.pallas_unroll)
     lanes = kcfg.lanes
     npad = ((n + lanes - 1) // lanes) * lanes
-    rays = jnp.zeros((npad, IN_FIELDS), jnp.float32)
-    rays = rays.at[:n, 0:3].set(o).at[:n, 3:6].set(d)
-    rays = rays.at[:, 6].set(base.step_size).at[:n, 7].set(1.0).at[:, 8].set(1.0)
+    rays = jnp.zeros((IN_FIELDS, npad), jnp.float32)
+    rays = rays.at[0:3, :n].set(o.T).at[3:6, :n].set(d.T)
+    rays = rays.at[6].set(base.step_size).at[7, :n].set(1.0).at[8].set(1.0)
     f = jax.jit(lambda r: march_pallas(r, params, kcfg))
     report("raw kernel (full budget)", timed(f, rays))
 

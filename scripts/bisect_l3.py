@@ -145,10 +145,10 @@ def main():
     _, disk_normal = bh.disk_frame()
     params = pack_params(bh, disk_normal, cfg)
     act = jnp.pad(needs.astype(jnp.float32), (0, pad))
-    rays = jnp.zeros((npad, 10), jnp.float32)
-    rays = rays.at[:n, 0:3].set(o_f + d_f * 21.0)
-    rays = rays.at[:n, 3:6].set(d_f)
-    rays = rays.at[:, 6].set(cfg.step_size).at[:, 7].set(act).at[:, 8].set(1.0)
+    rays = jnp.zeros((10, npad), jnp.float32)
+    rays = rays.at[0:3, :n].set((o_f + d_f * 21.0).T)
+    rays = rays.at[3:6, :n].set(d_f.T)
+    rays = rays.at[6].set(cfg.step_size).at[7].set(act).at[8].set(1.0)
     f = jax.jit(lambda r: march_pallas(r, params, kcfg))
     report("kernel uncompacted, real L3 mask", timed(f, rays))
 
@@ -160,12 +160,12 @@ def main():
             unroll=cfg.pallas_unroll,
         )
         np2 = ((n + k2.lanes - 1) // k2.lanes) * k2.lanes
-        r2 = rays[:np2] if np2 <= npad else jnp.pad(rays, ((0, np2 - npad), (0, 0)))
+        r2 = rays[:, :np2] if np2 <= npad else jnp.pad(rays, ((0, 0), (0, np2 - npad)))
         f = jax.jit(lambda r, k2=k2: march_pallas(r, params, k2))
         report(f"kernel uncompacted sublanes={sub}", timed(f, r2))
 
     # Strategy D: all-active dense kernel (upper bound on march cost).
-    rays_all = rays.at[:, 7].set(1.0)
+    rays_all = rays.at[7].set(1.0)
     f = jax.jit(lambda r: march_pallas(r, params, kcfg))
     report("kernel all-active dense", timed(f, rays_all))
 

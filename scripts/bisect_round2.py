@@ -74,9 +74,9 @@ def main():
     act[rng.choice(npad, size=npad // 1000, replace=False)] = 1.0
     act = jnp.asarray(act)
 
-    rays = jnp.zeros((npad, IN_FIELDS), jnp.float32)
-    rays = rays.at[:n, 0:3].set(o).at[:n, 3:6].set(d)
-    rays = rays.at[:, 6].set(base.step_size).at[:, 7].set(act).at[:, 8].set(1.0)
+    rays = jnp.zeros((IN_FIELDS, npad), jnp.float32)
+    rays = rays.at[0:3, :n].set(o.T).at[3:6, :n].set(d.T)
+    rays = rays.at[6].set(base.step_size).at[7].set(act).at[8].set(1.0)
 
     # --- kernel on mostly-dead tiles (no compaction) ---
     f = jax.jit(lambda r: march_pallas(r, params, kcfg))

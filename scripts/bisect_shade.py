@@ -57,20 +57,20 @@ def main():
     # Realistic slots: ~15% of rays have 1-2 crossings, clustered.
     rng = np.random.default_rng(0)
     K = 4
-    slots = np.zeros((n, K, 7), np.float32)
+    slots = np.zeros((K * 7, n), np.float32)  # field-major
     row = np.arange(n) // W
     band = (row > H // 3) & (row < 2 * H // 3)
     has = band & (rng.uniform(size=n) < 0.45)
     pos = rng.uniform(-9, 9, (n, 3)).astype(np.float32)
     dirs = rng.normal(size=(n, 3)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    slots[has, 0, 0:3] = pos[has]
-    slots[has, 0, 3:6] = dirs[has]
-    slots[has, 0, 6] = 1.0
+    slots[0:3, has] = pos[has].T
+    slots[3:6, has] = dirs[has].T
+    slots[6, has] = 1.0
     print(f"rays with a crossing: {has.mean():.1%}")
     slots = jnp.asarray(slots)
     cam = jnp.full((n,), 19.0, jnp.float32)
-    valid = slots[:, :, 6] > 0.5
+    valid = slots.reshape(K, 7, n)[:, 6] > 0.5
 
     skk = ShadeKernelConfig(max_crossings=K, sublanes=cfg.pallas_shade_sublanes)
     params = pack_shade_params(bh, rot_mat, scene.time)
@@ -88,7 +88,9 @@ def main():
     # Gain sample alone.
     from bhx.shading import sample_grid_mxu
     f = jax.jit(
-        lambda i: sample_grid_mxu(scene.disk_gain, i[..., 5], i[..., 6])
+        lambda i: sample_grid_mxu(
+            scene.disk_gain, i.reshape(K, 7, n)[:, 5], i.reshape(K, 7, n)[:, 6]
+        )
     )
     report("sample_grid_mxu (n,K)", timed(f, ing))
 

@@ -60,12 +60,12 @@ def main():
     for s8, unr, vote in itertools.product(args.sublanes, args.unroll, args.vote):
         lanes = s8 * 128
         npad = ((n + lanes - 1) // lanes) * lanes
-        rays = jnp.zeros((npad, IN_FIELDS), jnp.float32)
-        rays = rays.at[:n, 0:3].set(o)
-        rays = rays.at[:n, 3:6].set(d)
-        rays = rays.at[:, 6].set(cfg.step_size)
-        rays = rays.at[:n, 7].set(1.0)
-        rays = rays.at[:, 8].set(1.0)
+        rays = jnp.zeros((IN_FIELDS, npad), jnp.float32)
+        rays = rays.at[0:3, :n].set(o.T)
+        rays = rays.at[3:6, :n].set(d.T)
+        rays = rays.at[6].set(cfg.step_size)
+        rays = rays.at[7, :n].set(1.0)
+        rays = rays.at[8].set(1.0)
 
         # raw: fixed budget, no early exit possible (budget in params)
         kraw = MarchKernelConfig(
@@ -73,7 +73,7 @@ def main():
             vote_every=vote, sublanes=s8, unroll=unr)
         # no exits: relativity radius -> inf, budget == raw_steps
         praw = params.at[19].set(float(args.raw_steps)).at[5].set(1e9)
-        rraw = rays.at[:, 0:3].set(jnp.array([5.0, 6.0, 7.0]))
+        rraw = rays.at[0:3].set(jnp.array([5.0, 6.0, 7.0])[:, None])
         rraw = rraw.at[:, 3:6].set(
             jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (npad, 1)))
         f = jax.jit(lambda r: march_pallas(r, praw, kraw))

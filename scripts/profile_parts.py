@@ -72,12 +72,12 @@ def main():
     o = o.reshape(-1, 3)
     d = d.reshape(-1, 3)
     # place rays on the relativity sphere boundary heading inward-ish
-    rays = jnp.zeros((npad, IN_FIELDS), jnp.float32)
-    rays = rays.at[:n, 0:3].set(o + d * 5.0)
-    rays = rays.at[:n, 3:6].set(d)
-    rays = rays.at[:, 6].set(cfg.step_size)
-    rays = rays.at[:n, 7].set(1.0)
-    rays = rays.at[:, 8].set(1.0)
+    rays = jnp.zeros((IN_FIELDS, npad), jnp.float32)
+    rays = rays.at[0:3, :n].set((o + d * 5.0).T)
+    rays = rays.at[3:6, :n].set(d.T)
+    rays = rays.at[6].set(cfg.step_size)
+    rays = rays.at[7, :n].set(1.0)
+    rays = rays.at[8].set(1.0)
 
     for steps in (256,):
         kcfg = MarchKernelConfig(

@@ -29,15 +29,16 @@ def _setup(n=256, max_iter=64):
     tgt = rng.normal(size=(n, 3)).astype(np.float32) * 4.0
     d = tgt - pos
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
+    # Field-major (IN_FIELDS, n) kernel layout.
     rays = np.concatenate(
         [
-            pos, d,
-            np.full((n, 1), 0.3, np.float32),
-            np.ones((n, 1), np.float32),
-            np.ones((n, 1), np.float32),
-            np.zeros((n, 1), np.float32),
+            pos.T, d.T,
+            np.full((1, n), 0.3, np.float32),
+            np.ones((1, n), np.float32),
+            np.ones((1, n), np.float32),
+            np.zeros((1, n), np.float32),
         ],
-        axis=1,
+        axis=0,
     )
     scene = small_scene()
     cfg = RenderConfig(max_iterations=max_iter)
@@ -59,7 +60,7 @@ def test_mirror_matches_kernel_forward():
     out_j = np.asarray(march_jnp(rays, params, kcfg))
     # Identical math modulo float associativity; decision-boundary rays
     # may diverge, so bound the mismatching-ray fraction, not the max.
-    ray_bad = (np.abs(out_k - out_j) > 1e-3).any(axis=1)
+    ray_bad = (np.abs(out_k - out_j) > 1e-3).any(axis=0)
     assert ray_bad.mean() <= 0.01, f"{ray_bad.mean():.3%} rays mismatch"
 
 
@@ -72,15 +73,15 @@ def test_custom_vjp_grads_match_mirror():
     out_k = np.asarray(march_pallas(rays, params, kcfg))
     out_j = np.asarray(march_jnp(rays, params, kcfg))
     ok = jnp.asarray(
-        (np.abs(out_k - out_j) < 1e-4).all(axis=1).astype(np.float32)
+        (np.abs(out_k - out_j) < 1e-4).all(axis=0).astype(np.float32)
     )
     assert float(ok.mean()) > 0.9
 
     def make_loss(march):
         def loss(r, p):
             o = march(r, p, kcfg)
-            return jnp.sum(ok[:, None] * o[:, 0:6] ** 2) + jnp.sum(
-                ok[:, None] * o[:, 12:] ** 2
+            return jnp.sum(ok[None, :] * o[0:6] ** 2) + jnp.sum(
+                ok[None, :] * o[12:] ** 2
             )
 
         return loss

@@ -91,20 +91,21 @@ def test_shade_kernel_matches_jnp_reference():
     params = pack_shade_params(bh, rot, scene.time)
     rng = np.random.default_rng(0)
     n, K = 257, 4
-    pos = rng.uniform(-9, 9, (n, K, 3)).astype(np.float32)
-    dirs = rng.normal(size=(n, K, 3)).astype(np.float32)
-    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    valid = (rng.uniform(size=(n, K)) < 0.5).astype(np.float32)
+    pos = rng.uniform(-9, 9, (K, 3, n)).astype(np.float32)
+    dirs = rng.normal(size=(K, 3, n)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    valid = (rng.uniform(size=(K, n)) < 0.5).astype(np.float32)
+    # Field-major slots: (K*7, n), rows [hx hy hz dx dy dz valid] per slot.
     slots = jnp.asarray(
-        np.concatenate([pos, dirs, valid[..., None]], axis=-1)
+        np.concatenate([pos, dirs, valid[:, None, :]], axis=1).reshape(K * 7, n)
     )
     cam = jnp.asarray(rng.uniform(15, 25, (n,)).astype(np.float32))
     kcfg = ShadeKernelConfig(max_crossings=K, sublanes=8, interpret=True)
-    ing_k = np.asarray(shade_ingredients(slots, cam, params, kcfg))
-    ing_j = np.asarray(_ingredients_jnp(slots, cam, params, kcfg))
+    ing_k = np.asarray(shade_ingredients(slots, cam, params, kcfg)).reshape(K, 7, n)
+    ing_j = np.asarray(_ingredients_jnp(slots, cam, params, kcfg)).reshape(K, 7, n)
     # Kernel zeros the ingredients of invalid slots in fully-invalid tiles;
     # compare only valid ones (invalid slots are masked in the composite).
-    m = valid > 0.5
+    m = np.broadcast_to((valid > 0.5)[:, None, :], ing_k.shape)
     assert np.isfinite(ing_k).all()
     np.testing.assert_allclose(ing_k[m], ing_j[m], atol=2e-3, rtol=1e-3)
 
