@@ -286,12 +286,13 @@ def _run_steps(state, sc, kcfg: MarchKernelConfig, t: int):
 def march_jnp(rays, params, kcfg: MarchKernelConfig):
     """Step-exact jnp mirror of :func:`march_pallas` (Euler only).
 
-    Same field-major I/O contract: rays (IN_FIELDS, N) ->
-    (OUT_FIXED + 7K, N).  Differentiable; used as the recompute target of
-    the backward rule and as an interpret-free parity oracle in tests.
+    Same tuple-of-rows I/O contract: IN_FIELDS (N,) rows in,
+    OUT_FIXED + 7K (N,) rows out.  Differentiable; used as the recompute
+    target of the backward rule and as an interpret-free parity oracle in
+    tests.
     """
     assert kcfg.integrator == "euler", "jnp mirror supports Euler only"
-    assert rays.shape[0] == IN_FIELDS
+    assert len(rays) == IN_FIELDS
     sc = {
         k: params[_P[k]]
         for k in (
@@ -303,7 +304,7 @@ def march_jnp(rays, params, kcfg: MarchKernelConfig):
     px0, py0, pz0 = rays[0], rays[1], rays[2]
     dx0, dy0, dz0 = rays[3], rays[4], rays[5]
     h0, act0, amount0, steps0 = rays[6], rays[7], rays[8], rays[9]
-    n = rays.shape[1]
+    n = rays[0].shape[0]
     K = kcfg.max_crossings
     zeros = jnp.zeros_like(px0)
 
@@ -334,8 +335,9 @@ def march_jnp(rays, params, kcfg: MarchKernelConfig):
     rows[_OUT_FIXED["h"]] = final["h"]
     rows[_OUT_FIXED["amount"]] = final["amount_ub"]
     rows[_OUT_FIXED["count"]] = final["count"]
-    return jnp.concatenate(
-        [jnp.stack(rows, axis=0), final["slots"]], axis=0
+    slots = final["slots"]
+    return tuple(rows) + tuple(
+        slots[i] for i in range(K * CROSS_FIELDS)
     )
 
 

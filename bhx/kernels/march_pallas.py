@@ -136,7 +136,29 @@ class MarchKernelConfig:
         )
 
 
-def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
+class _Rows:
+    """Field-indexing adapter over a tuple of per-field block refs:
+    ``rows[f, 0]`` reads / ``rows[f, 0] = v`` writes field f's (s8, 128)
+    block, so the kernel body reads like the single-array layout."""
+
+    def __init__(self, refs):
+        self._refs = refs
+
+    def __getitem__(self, idx):
+        f = idx[0] if isinstance(idx, tuple) else idx
+        return self._refs[f][0]
+
+    def __setitem__(self, idx, value):
+        f = idx[0] if isinstance(idx, tuple) else idx
+        self._refs[f][0] = value
+
+
+def _kernel(params_ref, *refs, kcfg: MarchKernelConfig):
+    # refs = in_fields input refs followed by out_fields output refs; each
+    # is a (1, s8, 128) block of its own contiguous (tiles, s8, 128) field
+    # array (tuple-of-rows I/O — see march_pallas).
+    rays_ref = _Rows(refs[:kcfg.in_fields])
+    out_ref = _Rows(refs[kcfg.in_fields:])
     p = lambda name: params_ref[0, _P[name]]
 
     bx, by, bz = p("bh_x"), p("bh_y"), p("bh_z")
@@ -535,31 +557,33 @@ def _kernel(params_ref, rays_ref, out_ref, *, kcfg: MarchKernelConfig):
 def march_pallas(rays, params, kcfg: MarchKernelConfig):
     """Run the march kernel.
 
-    rays: (kcfg.in_fields, N) float32 FIELD-MAJOR — px, py, pz, dx, dy, dz,
-    h0, active, amount, steps_done [, qx, qy, qz for geodesics="kerr"] —
-    N a multiple of kcfg.lanes.  params: (NUM_PARAMS,) float32 per _P.
-    Returns (kcfg.out_fields, N) float32 (OUT_FIXED fixed fields + 7K slot
-    fields [, final momentum for kerr]).
+    rays: TUPLE of kcfg.in_fields float32 (N,) row arrays — px, py, pz,
+    dx, dy, dz, h0, active, amount, steps_done [, qx, qy, qz for
+    geodesics="kerr"] — N a multiple of kcfg.lanes.  params: (NUM_PARAMS,)
+    float32 per _P.  Returns a tuple of kcfg.out_fields (N,) row arrays
+    (OUT_FIXED fixed fields + 7K slot fields [, final momentum for kerr]).
 
-    Field-major I/O is load-bearing for throughput: the (fields, N) ->
-    (fields, tiles, s8, 128) reshape is a free view and the grid indexes
-    the TILE axis through the BlockSpec index map, so there is no relayout
-    on either side.  The old (N, fields) layout forced lane-granularity
-    transposes costing ~20 ms/frame at 1080p (scripts/bisect_shade.py).
+    Tuple-of-rows I/O is load-bearing for throughput: every field is its
+    own contiguous (tiles, s8, 128) array (a free reshape of the (N,)
+    row), each per-tile DMA is one contiguous chunk, and callers never
+    stack or slice a combined array.  A single (N, fields) array forced
+    lane-granularity transposes (~20 ms/frame at 1080p,
+    scripts/bisect_shade.py); a single (fields, N) array made each tile's
+    DMA fields strided chunks (+20%% kernel time, scripts/bisect_l3.py).
     """
     fin = kcfg.in_fields
     fout = kcfg.out_fields
-    assert rays.shape[0] == fin, (
-        f"rays has {rays.shape[0]} fields, kcfg expects {fin}"
-    )
-    n = rays.shape[1]
+    assert len(rays) == fin, f"{len(rays)} ray fields, kcfg expects {fin}"
+    n = rays[0].shape[0]
     lanes = kcfg.lanes
     s8 = kcfg.sublanes
     assert n % lanes == 0, f"ray count {n} not a multiple of {lanes}"
     tiles = n // lanes
 
-    rays_r = rays.reshape(fin, tiles, s8, 128)
+    rays_r = [r.reshape(tiles, s8, 128) for r in rays]
     params2 = params.reshape(1, NUM_PARAMS)
+    row_spec = pl.BlockSpec((1, s8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_kernel, kcfg=kcfg),
@@ -567,16 +591,15 @@ def march_pallas(rays, params, kcfg: MarchKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((fin, 1, s8, 128), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((fout, 1, s8, 128), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((fout, tiles, s8, 128), jnp.float32),
+        ] + [row_spec] * fin,
+        out_specs=[row_spec] * fout,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, s8, 128), jnp.float32)
+        ] * fout,
         interpret=kcfg.interpret,
-    )(params2, rays_r)
+    )(params2, *rays_r)
 
-    return out.reshape(fout, n)
+    return tuple(o.reshape(n) for o in out)
 
 
 def pack_params(black_hole, disk_normal, cfg) -> jnp.ndarray:

@@ -150,37 +150,42 @@ def _slot_ingredients(hx, hy, hz, dx, dy, dz, cam_dist, p, kcfg, xp=jnp):
     return od, m, tr, tg, tb, u, v
 
 
-def _shade_kernel(params_ref, slots_ref, cam_ref, out_ref, *,
-                  kcfg: ShadeKernelConfig):
-    p = {name: params_ref[0, i] for name, i in _SP.items()}
-    cam_dist = cam_ref[0, 0]
-    zeros = jnp.zeros_like(cam_dist)
+def _shade_kernel(params_ref, *refs, kcfg: ShadeKernelConfig):
+    # refs: K*SLOT_FIELDS slot-row refs, the cam-row ref, then
+    # K*ING_FIELDS output-row refs (tuple-of-rows I/O, march_pallas.py).
     K = kcfg.max_crossings
+    nslots = K * SLOT_FIELDS
+    slot_refs = refs[:nslots]
+    cam_ref = refs[nslots]
+    out_refs = refs[nslots + 1:]
+    p = {name: params_ref[0, i] for name, i in _SP.items()}
+    cam_dist = cam_ref[0]
+    zeros = jnp.zeros_like(cam_dist)
 
     for k in range(K):
         sbase = k * SLOT_FIELDS
         obase = k * ING_FIELDS
-        valid = slots_ref[sbase + 6, 0]
+        valid = slot_refs[sbase + 6][0]
 
         # Zero-init so skipped tiles hold a well-defined (ignored) record.
         for f in range(ING_FIELDS):
-            out_ref[obase + f, 0] = zeros
+            out_refs[obase + f][0] = zeros
 
         @pl.when(jnp.any(valid > 0.5))
         def _shade_k():
             od, m, tr, tg, tb, u, v = _slot_ingredients(
-                slots_ref[sbase + 0, 0], slots_ref[sbase + 1, 0],
-                slots_ref[sbase + 2, 0], slots_ref[sbase + 3, 0],
-                slots_ref[sbase + 4, 0], slots_ref[sbase + 5, 0],
+                slot_refs[sbase + 0][0], slot_refs[sbase + 1][0],
+                slot_refs[sbase + 2][0], slot_refs[sbase + 3][0],
+                slot_refs[sbase + 4][0], slot_refs[sbase + 5][0],
                 cam_dist, p, kcfg, xp=KXP,
             )
-            out_ref[obase + ING["od"], 0] = od
-            out_ref[obase + ING["m"], 0] = m
-            out_ref[obase + ING["tint_r"], 0] = tr
-            out_ref[obase + ING["tint_g"], 0] = tg
-            out_ref[obase + ING["tint_b"], 0] = tb
-            out_ref[obase + ING["u"], 0] = u
-            out_ref[obase + ING["v"], 0] = v
+            out_refs[obase + ING["od"]][0] = od
+            out_refs[obase + ING["m"]][0] = m
+            out_refs[obase + ING["tint_r"]][0] = tr
+            out_refs[obase + ING["tint_g"]][0] = tg
+            out_refs[obase + ING["tint_b"]][0] = tb
+            out_refs[obase + ING["u"]][0] = u
+            out_refs[obase + ING["v"]][0] = v
 
 
 def pack_shade_params(black_hole, rot_mat, time) -> jnp.ndarray:
@@ -198,34 +203,35 @@ def pack_shade_params(black_hole, rot_mat, time) -> jnp.ndarray:
 
 
 def _ingredients_pallas(slots, cam_dist, params, kcfg: ShadeKernelConfig):
-    """slots (K*SLOT_FIELDS, N) field-major -> (K*ING_FIELDS, N).
+    """slots: tuple of K*SLOT_FIELDS (N,) rows -> tuple of K*ING_FIELDS
+    (N,) rows.
 
-    Field-major I/O makes the (F, N) -> (F, tiles, s8, 128) reshape a free
-    view with the grid walking the tile axis — the old (N, K, 7) layout
-    forced lane-granularity transposes costing ~20 ms/frame at 1080p
+    Tuple-of-rows I/O: every row is its own contiguous (tiles, s8, 128)
+    array (free reshape), each per-tile DMA one contiguous chunk, no
+    stacking at the call boundary — the old (N, K, 7) layout forced
+    lane-granularity transposes costing ~20 ms/frame at 1080p
     (scripts/bisect_shade.py; same design as march_pallas).
     """
     K = kcfg.max_crossings
-    assert slots.shape[0] == K * SLOT_FIELDS
-    n = slots.shape[1]
+    assert len(slots) == K * SLOT_FIELDS
+    n = slots[0].shape[0]
     lanes = kcfg.lanes
     s8 = kcfg.sublanes
     pad = (-n) % lanes
     npad = n + pad
-    if pad:
-        slots = jnp.concatenate(
-            [slots, jnp.zeros((K * SLOT_FIELDS, pad), slots.dtype)], axis=1
-        )
-        cam_dist = jnp.concatenate(
-            [cam_dist, jnp.ones((pad,), cam_dist.dtype)], axis=0
-        )
-    tiles = npad // lanes
-    fin = K * SLOT_FIELDS
-    fout = K * ING_FIELDS
 
-    slots_r = slots.reshape(fin, tiles, s8, 128)
-    cam_r = cam_dist.reshape(1, tiles, s8, 128)
+    def padrow(r, fill=0.0):
+        if pad == 0:
+            return r
+        return jnp.concatenate([r, jnp.full((pad,), fill, r.dtype)])
+
+    tiles = npad // lanes
+    fout = K * ING_FIELDS
+    rows = [padrow(r).reshape(tiles, s8, 128) for r in slots]
+    cam_r = padrow(cam_dist, fill=1.0).reshape(tiles, s8, 128)
     params2 = params.reshape(1, NUM_SHADE_PARAMS)
+    row_spec = pl.BlockSpec((1, s8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_shade_kernel, kcfg=kcfg),
@@ -233,38 +239,39 @@ def _ingredients_pallas(slots, cam_dist, params, kcfg: ShadeKernelConfig):
         in_specs=[
             pl.BlockSpec((1, NUM_SHADE_PARAMS), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((fin, 1, s8, 128), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, s8, 128), lambda i: (0, i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((fout, 1, s8, 128), lambda i: (0, i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((fout, tiles, s8, 128), jnp.float32),
+        ] + [row_spec] * (len(rows) + 1),
+        out_specs=[row_spec] * fout,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, s8, 128), jnp.float32)
+        ] * fout,
         interpret=kcfg.interpret,
-    )(params2, slots_r, cam_r)
+    )(params2, *rows, cam_r)
 
-    return out.reshape(fout, npad)[:, :n]
+    return tuple(o.reshape(npad)[:n] for o in out)
 
 
 def _ingredients_jnp(slots, cam_dist, params, kcfg: ShadeKernelConfig):
     """jnp reference of the shade kernel (used for the custom_vjp backward
-    and for interpret-free CPU parity tests).  Same field-major contract:
-    (K*SLOT_FIELDS, n) -> (K*ING_FIELDS, n)."""
+    and for interpret-free CPU parity tests).  Same tuple-of-rows
+    contract: K*SLOT_FIELDS rows -> K*ING_FIELDS rows."""
     p = {name: params[i] for name, i in _SP.items()}
     K = kcfg.max_crossings
-    s = slots.reshape(K, SLOT_FIELDS, -1)
-    out = _slot_ingredients(
-        s[:, 0], s[:, 1], s[:, 2], s[:, 3], s[:, 4], s[:, 5],
-        cam_dist[None, :], p, kcfg, xp=jnp,
-    )
-    # (K, n) per ingredient -> (K, ING_FIELDS, n) -> (K*ING_FIELDS, n)
-    return jnp.stack(out, axis=1).reshape(K * ING_FIELDS, -1)
+    out = []
+    for k in range(K):
+        s = k * SLOT_FIELDS
+        out.extend(
+            _slot_ingredients(
+                slots[s + 0], slots[s + 1], slots[s + 2],
+                slots[s + 3], slots[s + 4], slots[s + 5],
+                cam_dist, p, kcfg, xp=jnp,
+            )
+        )
+    return tuple(out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def shade_ingredients(slots, cam_dist, params, kcfg: ShadeKernelConfig):
-    """Per-slot shading ingredients, field-major (K*ING_FIELDS, n):
+    """Per-slot shading ingredients as a tuple of K*ING_FIELDS (n,) rows:
     od, m, tint rgb, u, v per slot.
 
     Forward runs the Pallas kernel; backward re-derives through the jnp
@@ -294,45 +301,44 @@ shade_ingredients.defvjp(_shade_fwd, _shade_bwd)
 def composite_ingredients(ing, valid, disk_gain, kcfg: ShadeKernelConfig):
     """Front-to-back composite of shaded slots: (color (n,3), trans (n,)).
 
-    ``ing`` is field-major (K*ING_FIELDS, n); ``valid`` is (K, n).  jnp —
-    differentiable w.r.t. ``disk_gain`` (the coarse learnable texture
-    grid, sampled gather-free on the MXU) and, through the ingredients'
-    custom_vjp, w.r.t. scene geometry.  Semantics match
-    bhx.shading.disk_shade + the reference compositing (ray.wgsl:571-580).
+    ``ing`` is a tuple of K*ING_FIELDS (n,) rows; ``valid`` a list of K
+    (n,) bool rows.  jnp — differentiable w.r.t. ``disk_gain`` (the coarse
+    learnable texture grid, sampled gather-free on the MXU) and, through
+    the ingredients' custom_vjp, w.r.t. scene geometry.  Semantics match
+    bhx.shading.disk_shade + the reference compositing (ray.wgsl:571-580);
+    the K-step running-transmission loop IS the cumprod, written as a
+    Python loop over rows.
     """
     K = kcfg.max_crossings
-    g = ing.reshape(K, ING_FIELDS, -1)
-    od = g[:, ING["od"]]  # (K, n)
-    opacity = jnp.clip(od * 0.2, 0.0, 1.0)
-    color_kn = jnp.broadcast_to(od[..., None], od.shape + (3,))  # (K, n, 3)
-    if kcfg.show_texture:
-        m = g[:, ING["m"]]
-        if disk_gain is not None:
-            from bhx.shading import sample_grid_mxu
+    n = ing[0].shape[0]
+    trans = jnp.ones((n,), jnp.float32)
+    acc = [jnp.zeros((n,), jnp.float32) for _ in range(3)]
+    for k in range(K):
+        g = ing[k * ING_FIELDS:(k + 1) * ING_FIELDS]
+        od = g[ING["od"]]
+        opacity = jnp.clip(od * 0.2, 0.0, 1.0)
+        rgb = [od, od, od]
+        if kcfg.show_texture:
+            m = g[ING["m"]]
+            if disk_gain is not None:
+                from bhx.shading import sample_grid_mxu
 
-            gain = sample_grid_mxu(disk_gain, g[:, ING["u"]], g[:, ING["v"]])
-            tex_rgb = m[..., None] * gain[..., :3]
-            tex_a = m * gain[..., 3]
-        else:
-            tex_rgb = m[..., None]
-            tex_a = m
-        opacity = opacity * jnp.clip(0.7 + tex_a * 0.5, 0.0, 1.0)
-        color_kn = color_kn * tex_rgb * tex_a[..., None]
-    if kcfg.show_redshift:
-        tint = jnp.stack(
-            [g[:, ING["tint_r"]], g[:, ING["tint_g"]], g[:, ING["tint_b"]]],
-            axis=-1,
-        )
-        color_kn = color_kn * tint
-
-    rgb_kn = jnp.clip(color_kn, 0.0, 1.0)
-    op_kn = jnp.where(valid, opacity, 0.0)
-    trans = jnp.cumprod(1.0 - op_kn, axis=0)
-    trans_before = jnp.concatenate(
-        [jnp.ones_like(trans[:1]), trans[:-1]], axis=0
-    )
-    contrib = (trans_before * op_kn)[..., None] * rgb_kn
-    return contrib.sum(axis=0), trans[-1]
+                gain = sample_grid_mxu(disk_gain, g[ING["u"]], g[ING["v"]])
+                tex_a = m * gain[..., 3]
+                rgb = [rgb[c] * m * gain[..., c] * tex_a for c in range(3)]
+            else:
+                tex_a = m
+                rgb = [rgb[c] * m * tex_a for c in range(3)]
+            opacity = opacity * jnp.clip(0.7 + tex_a * 0.5, 0.0, 1.0)
+        if kcfg.show_redshift:
+            tints = (g[ING["tint_r"]], g[ING["tint_g"]], g[ING["tint_b"]])
+            rgb = [rgb[c] * tints[c] for c in range(3)]
+        op = jnp.where(valid[k], opacity, 0.0)
+        w = trans * op
+        for c in range(3):
+            acc[c] = acc[c] + w * jnp.clip(rgb[c], 0.0, 1.0)
+        trans = trans * (1.0 - op)
+    return jnp.stack(acc, axis=-1), trans
 
 
 # ---------------------------------------------------------------------------

@@ -114,11 +114,13 @@ def _init_state(origins, directions, deferred: bool = False):
 
         K = MarchKernelConfig.max_crossings
         state.update(
-            # Crossing slots are FIELD-MAJOR (K*CROSS_FIELDS, n): row
-            # k*CROSS_FIELDS+f is slot k's field f — matching the march
-            # kernel's output rows so no lane-granularity relayout ever
-            # happens (march_pallas.py layout note).
-            slots=jnp.zeros((K * CROSS_FIELDS, n), f),
+            # Crossing slots are a TUPLE of K*CROSS_FIELDS (n,) rows:
+            # row k*CROSS_FIELDS+f is slot k's field f — matching the
+            # march kernel's tuple-of-rows output so no relayout or
+            # stacking ever happens (march_pallas.py layout note).
+            slots=tuple(
+                jnp.zeros((n,), f) for _ in range(K * CROSS_FIELDS)
+            ),
             count=jnp.zeros((n,), f),
             mesh_color=jnp.zeros((n, 3), f),
             mesh_hit=jnp.zeros((n,), bool),
@@ -138,25 +140,21 @@ def _merge_slots(slots_a, count_a, slots_b, count_b, K: int):
     """Append slot list b after a's existing entries, preserving order:
     merged[i] <- b[i - count_a] (O(K^2) selects, no gathers).
 
-    Slots are field-major (K*CROSS_FIELDS, n); ``count`` masks broadcast
-    against the trailing ray axis for free.
+    Slots are tuples of K*CROSS_FIELDS (n,) rows (the kernel's
+    tuple-of-rows layout).
     """
-    from bhx.kernels.march_pallas import CROSS_FIELDS
+    from bhx.kernels.march_pallas import CROSS_FIELDS as CF
 
-    a = slots_a.reshape(K, CROSS_FIELDS, -1)
-    b = slots_b.reshape(K, CROSS_FIELDS, -1)
-    merged = a
+    merged = list(slots_a)
     for i in range(K):
-        take = jnp.zeros_like(b[0])
-        for j in range(0, i + 1):
-            sel = count_a == float(i - j)
-            take = jnp.where(sel, b[j], take)
-        keep = (count_a > float(i)) | (a[i, 6] > 0.5)
-        merged = merged.at[i].set(jnp.where(keep, merged[i], take))
-    return (
-        merged.reshape(slots_a.shape),
-        jnp.clip(count_a + count_b, 0.0, float(K)),
-    )
+        keep = (count_a > float(i)) | (slots_a[i * CF + 6] > 0.5)
+        sels = [count_a == float(i - j) for j in range(0, i + 1)]
+        for f in range(CF):
+            take = jnp.zeros_like(slots_b[f])
+            for j in range(0, i + 1):
+                take = jnp.where(sels[j], slots_b[j * CF + f], take)
+            merged[i * CF + f] = jnp.where(keep, merged[i * CF + f], take)
+    return tuple(merged), jnp.clip(count_a + count_b, 0.0, float(K))
 
 
 def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
@@ -323,10 +321,10 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     was = state["status"] == 1
     kerr = kcfg.geodesics == "kerr"
-    # Ray state lives as one FIELD-MAJOR (in_fields, npad) array in the
-    # kernel's exact input layout, so each round's kernel call needs no
-    # concat and no relayout (march_pallas.py layout note); auxiliary
-    # accumulators are (npad,) rows.
+    # Ray state lives as a TUPLE of (npad,) rows in the kernel's exact
+    # tuple-of-rows input layout, so each round's kernel call needs no
+    # stacking and no relayout (march_pallas.py layout note); auxiliary
+    # accumulators are (npad,) rows too.
     rows = [
         padded(state["pos"][:, 0]), padded(state["pos"][:, 1]),
         padded(state["pos"][:, 2]),
@@ -343,13 +341,16 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             padded(state["mom"][:, 2]),
         ]
     work = dict(
-        rs=jnp.stack(rows, axis=0),
+        rs=tuple(rows),
         closest=padded(jnp.where(was, state["closest"], jnp.float32(1e9))),
         horizon=padded(jnp.zeros((n,), jnp.float32)),
         exited=padded(jnp.zeros((n,), jnp.float32)),
         count=padded(jnp.zeros((n,), jnp.float32)),
         true_count=padded(jnp.zeros((n,), jnp.float32)),
-        slots=jnp.zeros((K * CROSS_FIELDS, npad), jnp.float32),
+        slots=tuple(
+            jnp.zeros((npad,), jnp.float32)
+            for _ in range(K * CROSS_FIELDS)
+        ),
     )
 
     def do_round(work, first: bool):
@@ -392,12 +393,18 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # this tracks how many were dropped (bounded by tests).
         true_count = work["true_count"] + jnp.where(active, out[12], 0.0)
         if cfg.show_disk:
-            round_slots = out[OUT_FIXED:OUT_FIXED + K * CROSS_FIELDS]
-            rs_k = round_slots.reshape(K, CROSS_FIELDS, npad)
-            round_valid = (rs_k[:, 6] > 0.5) & active
-            rs_k = rs_k * round_valid[:, None, :]
-            round_slots = rs_k.reshape(K * CROSS_FIELDS, npad)
-            round_count = round_valid.sum(0).astype(jnp.float32)
+            CF = CROSS_FIELDS
+            round_valid = [
+                (out[OUT_FIXED + k * CF + 6] > 0.5) & active
+                for k in range(K)
+            ]
+            round_slots = tuple(
+                out[OUT_FIXED + k * CF + f] * round_valid[k]
+                for k in range(K) for f in range(CF)
+            )
+            round_count = sum(
+                v.astype(jnp.float32) for v in round_valid
+            )
             if first:
                 # No prior slots: this round's records ARE the slots.
                 slots, count = round_slots, jnp.clip(round_count, 0.0, float(K))
@@ -429,7 +436,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             ]
         work = dict(work)
         work.update(
-            rs=jnp.stack(new_rows, axis=0),
+            rs=tuple(new_rows),
             closest=closest, horizon=horizon, exited=exited,
             count=count, slots=slots, true_count=true_count,
         )
@@ -454,9 +461,9 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             round_cond, round_body, (jnp.int32(0), work)
         )
 
-    # Unpack the field-major work state back into the tracer's (n, 3)
-    # vectors (two small row->vector stacks; everything heavy stayed
-    # field-major through the rounds).
+    # Unpack the row-tuple work state back into the tracer's (n, 3)
+    # vectors (two small row->vector stacks; everything heavy stayed in
+    # rows through the rounds).
     rs = work["rs"]
     w_pos = jnp.stack([rs[0][:n], rs[1][:n], rs[2][:n]], axis=-1)
     w_dir = jnp.stack([rs[3][:n], rs[4][:n], rs[5][:n]], axis=-1)
@@ -468,7 +475,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     w_exited = work["exited"][:n]
     w_count = work["count"][:n]
     w_true = work["true_count"][:n]
-    w_slots = work["slots"][:, :n]
+    w_slots = tuple(r[:n] for r in work["slots"])
     was_f = was
 
     # --- accumulate this phase's crossings into the deferred record; the
@@ -481,7 +488,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         state = dict(state)
         state["true_count"] = state_true + jnp.where(was, w_true, 0.0)
     if cfg.show_disk:
-        phase_slots = jnp.where(was_f, w_slots, 0.0)
+        phase_slots = tuple(jnp.where(was_f, r, 0.0) for r in w_slots)
         phase_count = jnp.where(was_f, w_count, 0.0)
         if first_phase:
             slots_acc, count_acc = phase_slots, phase_count
@@ -808,10 +815,10 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
     color = jnp.zeros((n, 3), jnp.float32)
     trans_total = jnp.ones((n,), jnp.float32)
     if cfg.show_disk:
-        slots = state["slots"]  # field-major (K*CROSS_FIELDS, n)
-        K = slots.shape[0] // CROSS_FIELDS
-        slots_k = slots.reshape(K, CROSS_FIELDS, n)
-        valid_kn = slots_k[:, 6] > 0.5
+        CF = CROSS_FIELDS
+        slots = state["slots"]  # tuple of K*CROSS_FIELDS (n,) rows
+        K = len(slots) // CF
+        valid_k = [slots[k * CF + 6] > 0.5 for k in range(K)]
         if cfg.texture_mode == "procedural":
             from bhx.kernels.shade_pallas import (
                 ShadeKernelConfig,
@@ -830,12 +837,16 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
             params = pack_shade_params(bh, rot_mat, scene.time)
             ing = shade_ingredients(slots, cam_dist, params, kcfg)
             color, trans_total = composite_ingredients(
-                ing, valid_kn, scene.disk_gain, kcfg
+                ing, valid_k, scene.disk_gain, kcfg
             )
         else:
             cam_kn = jnp.broadcast_to(cam_dist[None, :], (K, n)).reshape(-1)
-            pos_f = jnp.moveaxis(slots_k[:, 0:3], 1, 2).reshape(-1, 3)
-            dir_f = jnp.moveaxis(slots_k[:, 3:6], 1, 2).reshape(-1, 3)
+            pos_f = jnp.stack(
+                [jnp.stack([slots[k * CF + f] for f in range(3)], axis=-1)
+                 for k in range(K)], axis=0).reshape(-1, 3)
+            dir_f = jnp.stack(
+                [jnp.stack([slots[k * CF + 3 + f] for f in range(3)], axis=-1)
+                 for k in range(K)], axis=0).reshape(-1, 3)
             rgb_f, op_f = disk_shade(
                 pos_f, dir_f, cam_kn, bh, rot_mat,
                 scene.disk_texture, scene.temp_lut, scene.time,
@@ -844,6 +855,7 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
                 texture_mode=cfg.texture_mode,
                 disk_gain=scene.disk_gain,
             )
+            valid_kn = jnp.stack(valid_k, axis=0)
             rgb_kn = jnp.clip(rgb_f.reshape(K, n, 3), 0.0, 1.0)
             op_kn = jnp.where(valid_kn, op_f.reshape(K, n), 0.0)
             trans = jnp.cumprod(1.0 - op_kn, axis=0)

@@ -29,22 +29,22 @@ def _setup(n=256, max_iter=64):
     tgt = rng.normal(size=(n, 3)).astype(np.float32) * 4.0
     d = tgt - pos
     d = d / np.linalg.norm(d, axis=1, keepdims=True)
-    # Field-major (IN_FIELDS, n) kernel layout.
-    rays = np.concatenate(
-        [
-            pos.T, d.T,
-            np.full((1, n), 0.3, np.float32),
-            np.ones((1, n), np.float32),
-            np.ones((1, n), np.float32),
-            np.zeros((1, n), np.float32),
-        ],
-        axis=0,
+    # Tuple-of-rows kernel layout: IN_FIELDS (n,) arrays.
+    rays = tuple(
+        jnp.asarray(r)
+        for r in [
+            pos[:, 0], pos[:, 1], pos[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            np.full((n,), 0.3, np.float32),
+            np.ones((n,), np.float32),
+            np.ones((n,), np.float32),
+            np.zeros((n,), np.float32),
+        ]
     )
     scene = small_scene()
     cfg = RenderConfig(max_iterations=max_iter)
     _, disk_normal = scene.black_hole.disk_frame()
     params = pack_params(scene.black_hole, disk_normal, cfg)
-    return jnp.asarray(rays), params, kcfg
+    return rays, params, kcfg
 
 
 def test_total_steps_vote_granularity():
@@ -56,8 +56,8 @@ def test_total_steps_vote_granularity():
 
 def test_mirror_matches_kernel_forward():
     rays, params, kcfg = _setup()
-    out_k = np.asarray(march_pallas(rays, params, kcfg))
-    out_j = np.asarray(march_jnp(rays, params, kcfg))
+    out_k = np.stack([np.asarray(r) for r in march_pallas(rays, params, kcfg)])
+    out_j = np.stack([np.asarray(r) for r in march_jnp(rays, params, kcfg)])
     # Identical math modulo float associativity; decision-boundary rays
     # may diverge, so bound the mismatching-ray fraction, not the max.
     ray_bad = (np.abs(out_k - out_j) > 1e-3).any(axis=0)
@@ -70,8 +70,8 @@ def test_custom_vjp_grads_match_mirror():
     # the *kernel's* primal output — so compare gradients only through
     # rays whose forward agrees (decision-boundary rays legitimately
     # diverge; the parity test bounds them at 1%).
-    out_k = np.asarray(march_pallas(rays, params, kcfg))
-    out_j = np.asarray(march_jnp(rays, params, kcfg))
+    out_k = np.stack([np.asarray(r) for r in march_pallas(rays, params, kcfg)])
+    out_j = np.stack([np.asarray(r) for r in march_jnp(rays, params, kcfg)])
     ok = jnp.asarray(
         (np.abs(out_k - out_j) < 1e-4).all(axis=0).astype(np.float32)
     )
@@ -80,8 +80,8 @@ def test_custom_vjp_grads_match_mirror():
     def make_loss(march):
         def loss(r, p):
             o = march(r, p, kcfg)
-            return jnp.sum(ok[None, :] * o[0:6] ** 2) + jnp.sum(
-                ok[None, :] * o[12:] ** 2
+            return sum(jnp.sum(ok * row ** 2) for row in o[0:6]) + sum(
+                jnp.sum(ok * row ** 2) for row in o[12:]
             )
 
         return loss
@@ -89,7 +89,9 @@ def test_custom_vjp_grads_match_mirror():
     gr_k, gp_k = jax.grad(make_loss(march_pallas_diff), argnums=(0, 1))(rays, params)
     gr_j, gp_j = jax.grad(make_loss(march_jnp), argnums=(0, 1))(rays, params)
     np.testing.assert_allclose(
-        np.asarray(gr_k), np.asarray(gr_j), rtol=1e-3, atol=1e-3
+        np.stack([np.asarray(r) for r in gr_k]),
+        np.stack([np.asarray(r) for r in gr_j]),
+        rtol=1e-3, atol=1e-3,
     )
     np.testing.assert_allclose(
         np.asarray(gp_k), np.asarray(gp_j), rtol=1e-3, atol=1e-3

@@ -95,14 +95,23 @@ def test_shade_kernel_matches_jnp_reference():
     dirs = rng.normal(size=(K, 3, n)).astype(np.float32)
     dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
     valid = (rng.uniform(size=(K, n)) < 0.5).astype(np.float32)
-    # Field-major slots: (K*7, n), rows [hx hy hz dx dy dz valid] per slot.
-    slots = jnp.asarray(
-        np.concatenate([pos, dirs, valid[:, None, :]], axis=1).reshape(K * 7, n)
+    # Tuple-of-rows slots: K*7 (n,) rows [hx hy hz dx dy dz valid] / slot.
+    slots = tuple(
+        jnp.asarray(
+            np.concatenate(
+                [pos, dirs, valid[:, None, :]], axis=1
+            ).reshape(K * 7, n)[i]
+        )
+        for i in range(K * 7)
     )
     cam = jnp.asarray(rng.uniform(15, 25, (n,)).astype(np.float32))
     kcfg = ShadeKernelConfig(max_crossings=K, sublanes=8, interpret=True)
-    ing_k = np.asarray(shade_ingredients(slots, cam, params, kcfg)).reshape(K, 7, n)
-    ing_j = np.asarray(_ingredients_jnp(slots, cam, params, kcfg)).reshape(K, 7, n)
+    ing_k = np.stack(
+        [np.asarray(r) for r in shade_ingredients(slots, cam, params, kcfg)]
+    ).reshape(K, 7, n)
+    ing_j = np.stack(
+        [np.asarray(r) for r in _ingredients_jnp(slots, cam, params, kcfg)]
+    ).reshape(K, 7, n)
     # Kernel zeros the ingredients of invalid slots in fully-invalid tiles;
     # compare only valid ones (invalid slots are masked in the composite).
     m = np.broadcast_to((valid > 0.5)[:, None, :], ing_k.shape)
