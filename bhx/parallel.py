@@ -158,8 +158,10 @@ def bench_scaling(
 
     # block_until_ready does not reliably block on the tunneled axon TPU
     # platform; force completion by materializing a scalar on the host.
+    # Sum the WHOLE array so every device's shard is on the dependency
+    # path (a single element would only wait for the shard holding it).
     def sync(x):
-        return float(jnp.sum(x[0, 0]))
+        return float(jnp.sum(x))
 
     for n in device_counts:
         mesh = tile_mesh(devs[:n])

@@ -94,39 +94,43 @@ def main():
             jnp.zeros((nn,), jnp.int32).at[dest].set(
                 jnp.arange(nn, dtype=jnp.int32))
         )
-        permuted = rays[order]
+        permuted = rays[:, order]  # permute lanes (axis 1), not fields
         fout = OUT_FIXED + CROSS_FIELDS * K
-        fake_out = jnp.tile(permuted, (1, (fout + IN_FIELDS - 1) // IN_FIELDS))[:, :fout]
-        return fake_out[dest]
+        fake_out = jnp.tile(
+            permuted, ((fout + IN_FIELDS - 1) // IN_FIELDS, 1)
+        )[:fout]
+        return fake_out[:, dest]
 
     f = jax.jit(partition_and_permute)
     report("partition + 2 permute gathers", timed(f, act, rays))
 
     # --- compacted kernel (actives in front) ---
     order = np.argsort(-np.asarray(act), kind="stable").astype(np.int32)
-    rays_c = rays[jnp.asarray(order)]
+    rays_c = rays[:, jnp.asarray(order)]
     report("kernel 0.1% active, compacted", timed(f2 := jax.jit(
         lambda r: march_pallas(r, params, kcfg)), rays_c))
 
-    # --- slot merge at full scale ---
-    slots_a = jnp.zeros((npad, K, CROSS_FIELDS), jnp.float32)
+    # --- slot merge at full scale (tuple-of-rows layout) ---
+    slots_a = tuple(
+        jnp.zeros((npad,), jnp.float32) for _ in range(K * CROSS_FIELDS)
+    )
     count_a = jnp.zeros((npad,), jnp.float32)
     f = jax.jit(lambda sa, ca: _merge_slots(sa, ca, sa, ca, K))
     report("merge_slots full frame", timed(f, slots_a, count_a))
 
-    # --- the dozen masked state updates of do_round ---
+    # --- the dozen masked state updates of do_round (field-row indexing) ---
     def state_updates(rays, out, act_f):
         active = act_f > 0.5
-        pos = jnp.where(active[:, None], out[:, 0:3], rays[:, 0:3])
-        direction = jnp.where(active[:, None], out[:, 3:6], rays[:, 3:6])
-        h_new = jnp.where(active, out[:, 10], rays[:, 6])
-        amount_ub = jnp.where(active, out[:, 11], rays[:, 8])
-        steps = rays[:, 9] + jnp.where(active, out[:, 6], 0.0)
-        closest = jnp.where(active, jnp.minimum(out[:, 7], out[:, 7]), out[:, 7])
+        pos = [jnp.where(active, out[i], rays[i]) for i in range(3)]
+        direction = [jnp.where(active, out[3 + i], rays[3 + i]) for i in range(3)]
+        h_new = jnp.where(active, out[10], rays[6])
+        amount_ub = jnp.where(active, out[11], rays[8])
+        steps = rays[9] + jnp.where(active, out[6], 0.0)
+        closest = jnp.where(active, jnp.minimum(out[7], out[7]), out[7])
         return pos, direction, h_new, amount_ub, steps, closest
 
     fout = OUT_FIXED + CROSS_FIELDS * K
-    out_fake = jnp.zeros((npad, fout), jnp.float32)
+    out_fake = jnp.zeros((fout, npad), jnp.float32)
     f = jax.jit(state_updates)
     report("do_round masked state updates", timed(f, rays, out_fake, act))
 

@@ -74,8 +74,7 @@ def main():
         # no exits: relativity radius -> inf, budget == raw_steps
         praw = params.at[19].set(float(args.raw_steps)).at[5].set(1e9)
         rraw = rays.at[0:3].set(jnp.array([5.0, 6.0, 7.0])[:, None])
-        rraw = rraw.at[:, 3:6].set(
-            jnp.tile(jnp.array([[0.0, 0.0, 1.0]], jnp.float32), (npad, 1)))
+        rraw = rraw.at[3:6].set(jnp.array([0.0, 0.0, 1.0], jnp.float32)[:, None])
         f = jax.jit(lambda r: march_pallas(r, praw, kraw))
         force(f(rraw))
         t0 = time.perf_counter(); force(f(rraw)); t_raw = time.perf_counter() - t0
@@ -89,7 +88,7 @@ def main():
         out = g(rays); force(out)
         t0 = time.perf_counter(); out = g(rays); force(out)
         t_real = time.perf_counter() - t0
-        steps = float(jnp.sum(out[:n, 6])) / n
+        steps = float(jnp.sum(out[6][:n])) / n
 
         print(f"{s8:>3} {unr:>4} {vote:>5} | {t_raw*1e3:8.1f} {mls:9.0f} | "
               f"{t_real*1e3:8.1f} {steps:10.1f}")

@@ -58,7 +58,7 @@ def main():
                              vote_every=base.pallas_vote_every)
     f = jax.jit(lambda r: march_pallas(r, params, kcfg))
     t, out = timed(f, rays)
-    steps = np.asarray(out[:n, 6])
+    steps = np.asarray(out[6][:n])
     print(f"single-call 2000-budget kernel: {t*1e3:8.1f} ms  "
           f"steps mean={steps.mean():.0f} p50={np.percentile(steps,50):.0f} "
           f"p99={np.percentile(steps,99):.0f} max={steps.max():.0f}")
