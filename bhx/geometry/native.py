@@ -74,6 +74,23 @@ def _load():
             ctypes.POINTER(ctypes.c_int32),  # out node_count
             ctypes.POINTER(ctypes.c_int32),  # out lookup (T)
         ]
+        lib.bhx_obj_parse.restype = ctypes.c_int64
+        lib.bhx_obj_parse.argtypes = [ctypes.c_char_p]
+        lib.bhx_obj_counts.restype = None
+        lib.bhx_obj_counts.argtypes = [
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.bhx_obj_fill.restype = None
+        lib.bhx_obj_fill.argtypes = [
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),  # points (P*3)
+            ctypes.POINTER(ctypes.c_float),  # normals (Nn*3)
+            ctypes.POINTER(ctypes.c_int32),  # tri_p (T*3)
+            ctypes.POINTER(ctypes.c_int32),  # tri_n (T*3)
+            ctypes.POINTER(ctypes.c_uint8),  # has_n (T,)
+        ]
+        lib.bhx_obj_free.restype = None
+        lib.bhx_obj_free.argtypes = [ctypes.c_int64]
         _lib = lib
         return _lib
 
@@ -123,5 +140,40 @@ def build_bvh(points: np.ndarray, tri_points: np.ndarray, leaf_size: int = 2):
 
 
 def load_obj(path: str) -> Optional[tuple]:
-    """OBJ parsing stays in numpy for now (C++ parser: later round)."""
-    return None
+    """Native OBJ parse (reference model.rs:7-87 via tobj).
+
+    Returns the RAW parse — ``(points (P,3) f32, normals (Nn,3) f32,
+    tri_p (T,3) i32, tri_n (T,3) i32, has_n (T,) bool)`` — before the
+    scale/flip conventions and missing-normal synthesis, which the shared
+    post-pass in bhx.geometry.obj applies identically for both parsers.
+    Returns None when the native library is unavailable or the file can't
+    be opened (callers fall back to the numpy parser).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    handle = lib.bhx_obj_parse(os.fsencode(path))
+    if handle < 0:
+        return None
+    try:
+        counts = (ctypes.c_int64 * 3)()
+        lib.bhx_obj_counts(handle, counts)
+        p, nn, t = int(counts[0]), int(counts[1]), int(counts[2])
+        points = np.empty((p, 3), np.float32)
+        normals = np.empty((nn, 3), np.float32)
+        tri_p = np.empty((t, 3), np.int32)
+        tri_n = np.empty((t, 3), np.int32)
+        has_n = np.empty((t,), np.uint8)
+
+        def ptr(a, ty):
+            return a.ctypes.data_as(ctypes.POINTER(ty))
+
+        lib.bhx_obj_fill(
+            handle,
+            ptr(points, ctypes.c_float), ptr(normals, ctypes.c_float),
+            ptr(tri_p, ctypes.c_int32), ptr(tri_n, ctypes.c_int32),
+            ptr(has_n, ctypes.c_uint8),
+        )
+    finally:
+        lib.bhx_obj_free(handle)
+    return points, normals, tri_p, tri_n, has_n.astype(bool)

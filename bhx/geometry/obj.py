@@ -33,8 +33,10 @@ def load_obj(path: str, scale: float = 0.5, flip_y: bool = True):
     if native.available():
         parsed = native.load_obj(path)
         if parsed is not None:
-            points, normals, tri_p, tri_n = parsed
-            return _apply_conventions(points, normals, tri_p, tri_n, scale, flip_y)
+            points, normals, tri_p, tri_n, has_n = parsed
+            return _postprocess(
+                points, normals, tri_p, tri_n, has_n, scale, flip_y
+            )
 
     points_l, normals_l, faces = [], [], []
     with open(path, "r") as f:
@@ -72,11 +74,18 @@ def load_obj(path: str, scale: float = 0.5, flip_y: bool = True):
             tri_n[t, c] = ni - 1 if ni > 0 else (nnormals + ni if ni < 0 else -1)
         has_n[t] = all(face[c][1] != 0 for c in range(3))
 
-    # Synthesize flat normals for faces without normal indices
-    # (reference model.rs:54-67 — note it computes them from the already
-    # scaled/flipped points; cross-product normals only change sign/scale
-    # under that transform, so order is immaterial after normalization
-    # except for the y-flip handedness, which we apply below).
+    return _postprocess(points, normals, tri_p, tri_n, has_n, scale, flip_y)
+
+
+def _postprocess(points, normals, tri_p, tri_n, has_n, scale, flip_y):
+    """Shared post-parse pass: conventions + missing-normal synthesis.
+
+    Synthesizes flat normals for faces without normal indices
+    (reference model.rs:54-67 — note it computes them from the already
+    scaled/flipped points; cross-product normals only change sign/scale
+    under that transform, so order is immaterial after normalization
+    except for the y-flip handedness, which we apply below).
+    """
     points_t, normals, tri_p, tri_n = _apply_conventions(
         points, normals, tri_p, tri_n, scale, flip_y
     )

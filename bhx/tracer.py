@@ -372,18 +372,18 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # streaming (see the function docstring for measurements).
         out = kernel(rs, params, kcfg)
 
+        # The kernel PRESERVES inactive lanes (its per-substep applied
+        # mask keeps their state; counters/flags stay at their zero init),
+        # so no output field needs host-side re-masking: pos/dir/h/amount
+        # equal the inputs and steps/horizon/exited/count/slots are zero
+        # for lanes with act==0.  The old per-field jnp.where pyramid here
+        # was ~40 full-frame HBM round trips of pure no-ops.
         active = act_f > 0.5
-
-        def upd(new_row, old_row):
-            return jnp.where(active, new_row, old_row)
-
-        steps = rs[9] + jnp.where(active, out[6], 0.0)
-        amount_ub = upd(out[11], rs[8])
-        closest = jnp.where(
-            active, jnp.minimum(work["closest"], out[7]), work["closest"]
-        )
-        horizon = jnp.maximum(work["horizon"], jnp.where(active, out[8], 0.0))
-        exited = jnp.maximum(work["exited"], jnp.where(active, out[9], 0.0))
+        steps = rs[9] + out[6]
+        amount_ub = out[11]
+        closest = jnp.minimum(work["closest"], out[7])
+        horizon = jnp.maximum(work["horizon"], out[8])
+        exited = jnp.maximum(work["exited"], out[9])
 
         # Merge this round's crossing slots after the ray's existing ones.
         slots = work["slots"]
@@ -391,23 +391,21 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         # True (uncapped) crossing count from the kernel: crossings beyond
         # the K record slots still attenuate amount_ub but are not shaded;
         # this tracks how many were dropped (bounded by tests).
-        true_count = work["true_count"] + jnp.where(active, out[12], 0.0)
+        true_count = work["true_count"] + out[12]
         if cfg.show_disk:
             CF = CROSS_FIELDS
-            round_valid = [
-                (out[OUT_FIXED + k * CF + 6] > 0.5) & active
-                for k in range(K)
-            ]
+            # Slot rows come out exactly as recorded (valid flag is the
+            # 0/1 float in field 6, geometry zeroed where invalid).
             round_slots = tuple(
-                out[OUT_FIXED + k * CF + f] * round_valid[k]
+                out[OUT_FIXED + k * CF + f]
                 for k in range(K) for f in range(CF)
             )
             round_count = sum(
-                v.astype(jnp.float32) for v in round_valid
+                out[OUT_FIXED + k * CF + 6] for k in range(K)
             )
             if first:
                 # No prior slots: this round's records ARE the slots.
-                slots, count = round_slots, jnp.clip(round_count, 0.0, float(K))
+                slots, count = round_slots, round_count
             else:
                 slots, count = _merge_slots(
                     slots, count, round_slots, round_count, K
@@ -421,19 +419,15 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             & (steps < float(cfg.max_iterations))
         )
         new_rows = [
-            upd(out[0], rs[0]), upd(out[1], rs[1]), upd(out[2], rs[2]),
-            upd(out[3], rs[3]), upd(out[4], rs[4]), upd(out[5], rs[5]),
-            upd(out[10], rs[6]),  # h
+            out[0], out[1], out[2], out[3], out[4], out[5],
+            out[10],  # h
             still.astype(jnp.float32),
             amount_ub,
             steps,
         ]
         if kerr:
             base = OUT_FIXED + K * CROSS_FIELDS
-            new_rows += [
-                upd(out[base + 0], rs[10]), upd(out[base + 1], rs[11]),
-                upd(out[base + 2], rs[12]),
-            ]
+            new_rows += [out[base + 0], out[base + 1], out[base + 2]]
         work = dict(work)
         work.update(
             rs=tuple(new_rows),
@@ -480,30 +474,30 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     # --- accumulate this phase's crossings into the deferred record; the
     # single batched shade + composite runs once at the end of trace_rays ---
+    # Non-marching lanes came back bit-identical (kernel preserves them)
+    # with zero counters/flags/slots, so no was_f masking is needed on any
+    # "did X happen this phase" quantity.
     hit = state["hit"]
     slots_acc = state["slots"]
     count_acc = state["count"]
     state_true = state.get("true_count")
     if state_true is not None:
         state = dict(state)
-        state["true_count"] = state_true + jnp.where(was, w_true, 0.0)
+        state["true_count"] = state_true + w_true
     if cfg.show_disk:
-        phase_slots = tuple(jnp.where(was_f, r, 0.0) for r in w_slots)
-        phase_count = jnp.where(was_f, w_count, 0.0)
         if first_phase:
-            slots_acc, count_acc = phase_slots, phase_count
+            slots_acc, count_acc = w_slots, w_count
         else:
             slots_acc, count_acc = _merge_slots(
-                slots_acc, count_acc, phase_slots, phase_count, K
+                slots_acc, count_acc, w_slots, w_count, K
             )
-        hit = hit | (phase_count > 0.5)
-    horizon_b = was_f & (w_horizon > 0.5)
+        hit = hit | (count_acc > 0.5)
+    horizon_b = w_horizon > 0.5
     hit = hit | horizon_b
-    amount_ub = jnp.where(was_f, w_amount, state["amount_ub"])
-    amount_ub = jnp.where(horizon_b, 0.0, amount_ub)
+    amount_ub = jnp.where(horizon_b, 0.0, w_amount)
 
     # --- feather the exit direction (reference ray.wgsl:543-553) ---
-    exited_b = was_f & (w_exited > 0.5)
+    exited_b = w_exited > 0.5
     fw = bh.relativity_radius * bh.feather
     fs = bh.relativity_radius - fw
     lin = jnp.clip((w_closest - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
@@ -523,22 +517,21 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     new_state = dict(state)
     new_state.update(
-        pos=jnp.where(was_f[:, None], w_pos, state["pos"]),
-        dir=jnp.where(was_f[:, None], direction, state["dir"]),
-        h=jnp.where(was_f, w_h, state["h"]),
+        pos=w_pos,
+        dir=direction,
+        h=w_h,
         hit=hit,
         slots=slots_acc,
         count=count_acc,
         horizon=state["horizon"] | horizon_b,
         amount_ub=amount_ub,
         closest=jnp.where(was_f, w_closest, state["closest"]),
-        march_steps=state["march_steps"]
-        + jnp.where(was_f, w_steps, 0.0).astype(jnp.int32),
+        march_steps=state["march_steps"] + w_steps.astype(jnp.int32),
         status=status,
     )
     if kerr:
         w_mom = jnp.stack([rs[10][:n], rs[11][:n], rs[12][:n]], axis=-1)
-        new_state["mom"] = jnp.where(was_f[:, None], w_mom, state["mom"])
+        new_state["mom"] = w_mom
     return new_state
 
 
@@ -744,8 +737,16 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
                 jnp.any(state["status"] == 1), march, lambda s: s, state
             )
     # Rays still wanting a straight phase after the last march get it once
-    # more; any that would re-enter yet again are treated as escapes.
-    state = _straight_phase(state, scene, cfg, cam_dist)
+    # more; any that would re-enter yet again are treated as escapes.  In
+    # the common case the gated re-entry march above was skipped and NO ray
+    # is in status 0, so the whole pass is gated too (a full-frame straight
+    # phase costs ~4 ms at 1080p; the any-reduce costs ~none).
+    state = jax.lax.cond(
+        jnp.any(state["status"] == 0),
+        lambda s: _straight_phase(s, scene, cfg, cam_dist),
+        lambda s: s,
+        state,
+    )
     state["status"] = jnp.where(state["status"] == 1, jnp.int32(2), state["status"])
 
     if deferred:

@@ -86,3 +86,44 @@ def test_bvh_traversal_matches_brute_force():
     np.testing.assert_allclose(
         np.asarray(brute["color"])[hits], np.asarray(bvh["color"])[hits], atol=1e-4
     )
+
+
+def test_native_obj_parser_matches_numpy(tmp_path):
+    """The C++ OBJ parser (csrc/bhxcore.cpp bhx_obj_parse, reference
+    model.rs:7-87) and the numpy parser produce identical meshes across
+    every vertex-reference form, fan triangulation, and negative indices."""
+    if not native.available():
+        pytest.skip("native bhxcore not built (g++ unavailable?)")
+    from bhx.geometry import obj as objmod
+
+    src = "\n".join(
+        [
+            "# comment line",
+            "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0", "v 0.5 0.5 1",
+            "vn 0 0 1", "vn 0 0 -1", "vn 1 0 0",
+            "f 1 2 3",                      # plain, normal synthesized
+            "f 1/1/1 2/2/1 3/3/2 4/4/2",    # p/t/n quad -> fan
+            "f -5//-3 -4//-1 -3//-2",       # p//n, negative indices
+            "f 1/2 2/3 5/1",                # p/t (no normal)
+            "",
+        ]
+    )
+    path = tmp_path / "parse.obj"
+    path.write_text(src)
+
+    raw = native.load_obj(str(path))
+    assert raw is not None
+    full_native = objmod.load_obj(str(path))
+
+    # Force the numpy fallback and reparse.
+    saved = (native._lib, native._tried)
+    native._lib, native._tried = None, True
+    try:
+        full_numpy = objmod.load_obj(str(path))
+    finally:
+        native._lib, native._tried = saved
+
+    names = ["points", "normals", "tri_p", "tri_n"]
+    for a, b, name in zip(full_native, full_numpy, names):
+        assert a.shape == b.shape, name
+        np.testing.assert_array_equal(a, b, err_msg=name)
