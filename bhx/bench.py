@@ -67,7 +67,7 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
     best = min(times)
     rays = width * height
     mrays = rays / best / 1e6
-    return {
+    out = {
         "metric": "Mrays/s 1080p schwarzschild+disk (full pipeline)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
@@ -80,6 +80,29 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
         "resolution": [width, height],
         "vs_baseline": round(mrays / 50.0, 3),
     }
+    if march_mode in ("pallas", "pallas_interpret"):
+        # K-slot crossing-drop accounting (the silent-loss number the
+        # record-don't-shade design depends on) — reported continuously
+        # with every bench, not just in tests.  Measured at a coarser
+        # resolution: the overflow fraction is a property of the scene
+        # geometry (edge-on disk wraps), not of the pixel grid, and the
+        # dense full-res variant costs a second full compile.
+        from bhx.config import RenderConfig
+        from bhx.scene import Scene
+        from bhx.tracer import crossing_overflow_stats
+
+        ocfg = RenderConfig(
+            width=width, height=height, use_ladder=False,
+            march_mode=march_mode,
+        )
+        stats = jax.jit(
+            lambda s: crossing_overflow_stats(s, ocfg, 640, 361),
+            static_argnums=(),
+        )(Scene.default())
+        out["overflow_frac"] = round(float(stats["overflow_frac"]), 5)
+        out["overflow_dropped_total"] = int(stats["dropped_total"])
+        out["max_crossing_count"] = int(stats["max_count"])
+    return out
 
 
 def parity_check(width: int = 192, height: int = 108,

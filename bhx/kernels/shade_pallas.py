@@ -342,6 +342,199 @@ def composite_ingredients(ing, valid, disk_gain, kcfg: ShadeKernelConfig):
 
 
 # ---------------------------------------------------------------------------
+# Fused shade + composite: slots -> (rgb, transmission) in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _gain_bilinear_hat(u, v, gain_ref, gh: int, gw: int, xp=jnp):
+    """Per-lane bilinear sample of the (gh, gw, 4) gain grid, gather-free.
+
+    Kernel-side mirror of bhx.shading.sample_grid_mxu: clamp-addressed
+    bilinear with texel centers at (i + 0.5)/size, written as a dense
+    hat-basis contraction — per-lane gathers don't exist on the VPU, so
+    every grid node contributes through its hat weight (zero except for
+    the 2x2 footprint).  gh*gw*4 fma per lane: ~1k vector ops for the
+    16x16 default, trivially VPU-bound under the slot/tile skipping.
+    ``gain_ref`` is the flattened grid in SMEM ((1, gh*gw*4)).
+    """
+    x = jnp.clip(u * gw - 0.5, 0.0, gw - 1.0)
+    y = jnp.clip(v * gh - 0.5, 0.0, gh - 1.0)
+    bx = [jnp.maximum(1.0 - jnp.abs(x - float(w)), 0.0) for w in range(gw)]
+    by = [jnp.maximum(1.0 - jnp.abs(y - float(h)), 0.0) for h in range(gh)]
+    acc = [None, None, None, None]
+    for h in range(gh):
+        for w in range(gw):
+            p = by[h] * bx[w]
+            base = (h * gw + w) * 4
+            for c in range(4):
+                g = gain_ref[0, base + c]
+                acc[c] = p * g if acc[c] is None else acc[c] + p * g
+    return acc
+
+
+def _composite_kernel(params_ref, gain_ref, *refs,
+                      kcfg: ShadeKernelConfig, gain_shape):
+    """Fused per-tile shade + front-to-back composite.
+
+    refs: K*SLOT_FIELDS slot rows, cam row, then outputs r, g, b, trans.
+    The running composite state (acc rgb, transmission) lives in the
+    output refs so each slot's pl.when region can read-modify-write it —
+    slot k's block is skipped entirely when the tile has no valid slot-k
+    crossing (crossing-free tiles, ~85%% of the frame, cost nothing).
+    """
+    K = kcfg.max_crossings
+    nslots = K * SLOT_FIELDS
+    slot_refs = refs[:nslots]
+    cam_ref = refs[nslots]
+    out_r, out_g, out_b, out_t = refs[nslots + 1:nslots + 5]
+    p = {name: params_ref[0, i] for name, i in _SP.items()}
+    cam_dist = cam_ref[0]
+    zeros = jnp.zeros_like(cam_dist)
+
+    out_r[0] = zeros
+    out_g[0] = zeros
+    out_b[0] = zeros
+    out_t[0] = zeros + 1.0
+
+    for k in range(K):
+        sbase = k * SLOT_FIELDS
+        valid = slot_refs[sbase + 6][0] > 0.5
+
+        @pl.when(jnp.any(valid))
+        def _slot_k(sbase=sbase, valid=valid):
+            od, m, tr, tg, tb, u, v = _slot_ingredients(
+                slot_refs[sbase + 0][0], slot_refs[sbase + 1][0],
+                slot_refs[sbase + 2][0], slot_refs[sbase + 3][0],
+                slot_refs[sbase + 4][0], slot_refs[sbase + 5][0],
+                cam_dist, p, kcfg, xp=KXP,
+            )
+            opacity = jnp.clip(od * 0.2, 0.0, 1.0)
+            r = g = b = od
+            if kcfg.show_texture:
+                if gain_shape is not None:
+                    gh, gw = gain_shape
+                    ga = _gain_bilinear_hat(u, v, gain_ref, gh, gw, xp=KXP)
+                    tex_a = m * ga[3]
+                    r = r * m * ga[0] * tex_a
+                    g = g * m * ga[1] * tex_a
+                    b = b * m * ga[2] * tex_a
+                else:
+                    tex_a = m
+                    r = r * m * tex_a
+                    g = g * m * tex_a
+                    b = b * m * tex_a
+                opacity = opacity * jnp.clip(0.7 + tex_a * 0.5, 0.0, 1.0)
+            if kcfg.show_redshift:
+                r = r * tr
+                g = g * tg
+                b = b * tb
+            op = jnp.where(valid, opacity, 0.0)
+            trans = out_t[0]
+            w = trans * op
+            out_r[0] = out_r[0] + w * jnp.clip(r, 0.0, 1.0)
+            out_g[0] = out_g[0] + w * jnp.clip(g, 0.0, 1.0)
+            out_b[0] = out_b[0] + w * jnp.clip(b, 0.0, 1.0)
+            out_t[0] = trans * (1.0 - op)
+
+
+def _composite_pallas(slots, cam_dist, params, gain, kcfg: ShadeKernelConfig):
+    K = kcfg.max_crossings
+    assert len(slots) == K * SLOT_FIELDS
+    n = slots[0].shape[0]
+    lanes = kcfg.lanes
+    s8 = kcfg.sublanes
+    pad = (-n) % lanes
+    npad = n + pad
+
+    def padrow(r, fill=0.0):
+        if pad == 0:
+            return r
+        return jnp.concatenate([r, jnp.full((pad,), fill, r.dtype)])
+
+    tiles = npad // lanes
+    rows = [padrow(r).reshape(tiles, s8, 128) for r in slots]
+    cam_r = padrow(cam_dist, fill=1.0).reshape(tiles, s8, 128)
+    params2 = params.reshape(1, NUM_SHADE_PARAMS)
+    if gain is not None:
+        gain_shape = (gain.shape[0], gain.shape[1])
+        gain_flat = gain.reshape(1, -1).astype(jnp.float32)
+    else:
+        gain_shape = None
+        gain_flat = jnp.zeros((1, 4), jnp.float32)
+    row_spec = pl.BlockSpec((1, s8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _composite_kernel, kcfg=kcfg, gain_shape=gain_shape
+        ),
+        grid=(tiles,),
+        in_specs=[
+            pl.BlockSpec((1, NUM_SHADE_PARAMS), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, gain_flat.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ] + [row_spec] * (len(rows) + 1),
+        out_specs=[row_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, s8, 128), jnp.float32)
+        ] * 4,
+        interpret=kcfg.interpret,
+    )(params2, gain_flat, *rows, cam_r)
+
+    return tuple(o.reshape(npad)[:n] for o in out)
+
+
+def _composite_jnp(slots, cam_dist, params, gain, kcfg: ShadeKernelConfig):
+    """jnp mirror of the fused kernel: ingredients + composite via the
+    shared math (used for the custom_vjp backward and parity tests).
+    Returns (r, g, b, trans) rows like the kernel."""
+    ing = _ingredients_jnp(slots, cam_dist, params, kcfg)
+    K = kcfg.max_crossings
+    valid = [slots[k * SLOT_FIELDS + 6] > 0.5 for k in range(K)]
+    color, trans = composite_ingredients(ing, valid, gain, kcfg)
+    return color[..., 0], color[..., 1], color[..., 2], trans
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def shade_composite(slots, cam_dist, params, gain, kcfg: ShadeKernelConfig):
+    """Fused deferred-shade composite: slot rows -> (r, g, b, trans) rows.
+
+    One kernel pass does what shade_ingredients + composite_ingredients did
+    in two (28 intermediate full-frame rows + an MXU gain-sample with
+    (n, G*C) intermediates): slot-skipped ingredient math, in-kernel
+    hat-basis gain sampling, and the front-to-back composite, emitting just
+    4 rows.  Forward = Pallas; backward recomputes through the shared jnp
+    math (differentiable w.r.t. slots, cam_dist, params, and gain).
+    """
+    return _composite_pallas(slots, cam_dist, params, gain, kcfg)
+
+
+def _composite_fwd(slots, cam_dist, params, gain, kcfg):
+    return shade_composite(slots, cam_dist, params, gain, kcfg), (
+        slots, cam_dist, params, gain,
+    )
+
+
+def _composite_bwd(kcfg, res, g):
+    slots, cam_dist, params, gain = res
+    if gain is None:
+        _, vjp = jax.vjp(
+            lambda s, c, p: _composite_jnp(s, c, p, None, kcfg),
+            slots, cam_dist, params,
+        )
+        return vjp(g) + (None,)
+    _, vjp = jax.vjp(
+        lambda s, c, p, ga: _composite_jnp(s, c, p, ga, kcfg),
+        slots, cam_dist, params, gain,
+    )
+    return vjp(g)
+
+
+shade_composite.defvjp(_composite_fwd, _composite_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Sky finalize: record -> final rgb with procedural sky, composited once
 # ---------------------------------------------------------------------------
 
@@ -365,6 +558,97 @@ def _sky_channels_from_dir(dx, dy, dz, xp=jnp):
     u = ((phi + 2.6 * PI) / (2.0 * PI)) % 1.0
     v = ((PI - theta) / PI) % 1.0
     return sky_radiance_channels(u, v, xp)
+
+
+def _sky_rows_kernel(*refs, kcfg: SkyKernelConfig):
+    # refs: 8 record rows (cr, cg, cb, alpha, amount, dx, dy, dz), then
+    # 3 output rows (r, g, b).  Pure row I/O — no channel interleaving, so
+    # callers that keep the record as planes pay zero relayout.
+    cr = refs[0][0]
+    cg = refs[1][0]
+    cb = refs[2][0]
+    amount = refs[4][0]
+    out_r, out_g, out_b = refs[8], refs[9], refs[10]
+
+    out_r[0] = cr
+    out_g[0] = cg
+    out_b[0] = cb
+
+    if kcfg.show_sky:
+        w = jnp.where(amount > 0.001, amount, 0.0)
+
+        @pl.when(jnp.any(w > 0.0))
+        def _sky():
+            sr, sg, sb = _sky_channels_from_dir(
+                refs[5][0], refs[6][0], refs[7][0], xp=KXP
+            )
+            out_r[0] = cr + w * sr
+            out_g[0] = cg + w * sg
+            out_b[0] = cb + w * sb
+
+
+def _sky_rows_pallas(rows, kcfg: SkyKernelConfig):
+    n = rows[0].shape[0]
+    lanes = kcfg.lanes
+    s8 = kcfg.sublanes
+    pad = (-n) % lanes
+    npad = n + pad
+
+    def padrow(r):
+        if pad == 0:
+            return r
+        return jnp.concatenate([r, jnp.zeros((pad,), r.dtype)])
+
+    tiles = npad // lanes
+    rows_r = [padrow(r).reshape(tiles, s8, 128) for r in rows]
+    row_spec = pl.BlockSpec((1, s8, 128), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_sky_rows_kernel, kcfg=kcfg),
+        grid=(tiles,),
+        in_specs=[row_spec] * 8,
+        out_specs=[row_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((tiles, s8, 128), jnp.float32)
+        ] * 3,
+        interpret=kcfg.interpret,
+    )(*rows_r)
+
+    return tuple(o.reshape(npad)[:n] for o in out)
+
+
+def _sky_rows_jnp(rows, kcfg: SkyKernelConfig):
+    cr, cg, cb, _, amount, dx, dy, dz = rows
+    if not kcfg.show_sky:
+        return cr, cg, cb
+    w = jnp.where(amount > 0.001, amount, 0.0)
+    sr, sg, sb = _sky_channels_from_dir(dx, dy, dz)
+    return cr + w * sr, cg + w * sg, cb + w * sb
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def sky_finalize_rows(rows, kcfg: SkyKernelConfig):
+    """8 record rows -> 3 final rgb rows; procedural sky composited into
+    the residual transmission exactly once (reference ray.wgsl:587-592 +
+    sky.wgsl).  The rows-native variant of sky_finalize: when the caller
+    keeps the record as planes, there is no (N, 8) interleave to build and
+    no lane-granularity transpose into the kernel (~4 ms/frame at 1080p).
+    Pallas forward, jnp-recompute backward."""
+    return _sky_rows_pallas(rows, kcfg)
+
+
+def _sky_rows_fwd(rows, kcfg):
+    return sky_finalize_rows(rows, kcfg), (rows,)
+
+
+def _sky_rows_bwd(kcfg, res, g):
+    (rows,) = res
+    _, vjp = jax.vjp(lambda r: _sky_rows_jnp(r, kcfg), rows)
+    return vjp(g)
+
+
+sky_finalize_rows.defvjp(_sky_rows_fwd, _sky_rows_bwd)
 
 
 def _sky_kernel(rec_ref, out_ref, *, kcfg: SkyKernelConfig):

@@ -78,14 +78,45 @@ def _trace_flat(o, d, scene, cfg):
     return trace_rays_record(o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh"))
+def _trace_flat_shmap(o, d, scene, cfg, mesh):
+    """Per-device trace via shard_map: each device runs the full
+    trace_rays_record (jnp phases + Pallas march kernel) on its local ray
+    shard with the scene replicated.
+
+    This is the kernel path's distribution story: GSPMD cannot partition
+    an opaque ``pallas_call`` (it would replicate its operands — an
+    all-gather of the whole frame per device), while under shard_map the
+    kernel simply launches per device on local tiles.  Rays are
+    embarrassingly parallel, so the body needs no collectives at all; the
+    jnp march modes keep the plain-GSPMD path (_trace_flat), which
+    partitions their while loops natively.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    def body(o_loc, d_loc, scene_loc):
+        return trace_rays_record(
+            o_loc.reshape(-1, 3), d_loc.reshape(-1, 3), scene_loc, cfg
+        )
+
+    return shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(TILE_AXIS), P(TILE_AXIS), P()),
+        out_specs=P(TILE_AXIS),
+        check_rep=False,
+    )(o, d, scene)
+
+
 def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                         width: int, height: int):
     """Dense trace with pixel rows sharded across the mesh.
 
     Returns the (height, width, 8) sky-free record (bhx.tracer record
     layout).  Rays are generated host-side-of-jit, resharded row-wise,
-    traced under GSPMD, and the result is reassembled (still sharded —
-    downstream ops decide layout).
+    traced under GSPMD (jnp march modes) or shard_map (Pallas kernel
+    modes — see _trace_flat_shmap), and the result is reassembled (still
+    sharded — downstream ops decide layout).
     """
     o, d = camera_rays(scene.camera, width, height)
     n = mesh.devices.size
@@ -99,7 +130,10 @@ def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     d = jax.device_put(d.reshape(hp * width, 3).reshape(n, -1, 3), row_sharding)
     scene_rep = jax.device_put(scene, NamedSharding(mesh, P()))
 
-    out = _trace_flat(o, d, scene_rep, cfg)
+    if cfg.march_mode in ("pallas", "pallas_interpret"):
+        out = _trace_flat_shmap(o, d, scene_rep, cfg, mesh)
+    else:
+        out = _trace_flat(o, d, scene_rep, cfg)
     return out.reshape(hp, width, 8)[:height]
 
 

@@ -9,10 +9,18 @@ The reference's coarse-to-fine "adaptive grid" (ray.wgsl:167-243) decides
 per fine pixel whether to copy a coarse pixel, interpolate escape
 directions, or re-trace.  Its per-pixel branch becomes a masked dense
 retrace (SURVEY.md §7 hard part 4): the whole level is traced with the
-needs-trace set as the initial active mask, and the march kernel's O(n)
-stable-partition compaction packs live rays into dense tiles each round —
-so traced work is proportional to the needs count while every shape stays
-static and the level is a single pipeline invocation.
+needs-trace set as the initial active mask; the march kernel's per-lane
+activity mask skips dead rays, so traced work is proportional to the
+needs count while every shape stays static and the level is a single
+pipeline invocation.
+
+Layout: the record travels as 8 per-channel PLANES ((H, W) each) and the
+post chain as a channel-major (3, H, W) image — structure-of-arrays
+end-to-end.  An interleaved (H, W, 8) record puts the channel dim in the
+TPU lane dimension (8 of 128 lanes used), taxing every elementwise op in
+the refine/post stages ~16x its bandwidth and forcing lane-granularity
+transposes at the Pallas kernel boundaries; planes make every op
+full-width and every kernel boundary a free reshape.
 """
 
 from __future__ import annotations
@@ -24,19 +32,20 @@ import jax
 import jax.numpy as jnp
 
 from bhx.config import RenderConfig
-from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
+from bhx.post import bloom_chain_chw, fxaa_pass_chw, mix_pass, tonemap_pass
 from bhx.scene import Scene
 from bhx.shading import sample_sky
 from bhx.tracer import (
-    REC_ALPHA,
-    REC_DIR,
     camera_rays,
-    finalize_image,
-    trace_image,
-    trace_image_record,
-    trace_rays,
-    trace_rays_record,
+    finalize_image_rows,
+    trace_rays_record_rows,
 )
+
+# Record row indices (see bhx.tracer REC_*): rows 0-2 color, 3 alpha,
+# 4 amount, 5-7 dir.
+_R_ALPHA = 3
+_R_AMOUNT = 4
+_R_DIR = (5, 6, 7)
 
 
 def sky_pass(img4, sky_tex, texture_mode: str = "array"):
@@ -48,27 +57,23 @@ def sky_pass(img4, sky_tex, texture_mode: str = "array"):
     return rgb
 
 
-def _dirs_aligned(a, b, cos_thresh: float):
-    """angle(a, b) < acos(cos_thresh), evaluated as a dot-product compare —
-    cos is strictly decreasing on [0, pi], so no arccos (which costs a
-    transcendental per pair per pixel at full frame resolution)."""
-    dot = jnp.sum(a * b, axis=-1)
-    n2 = jnp.sum(a * a, axis=-1) * jnp.sum(b * b, axis=-1)
+def _dirs_aligned_ch(a, b, cos_thresh: float):
+    """angle(a, b) < acos(cos_thresh) for component-plane triples a, b —
+    a dot-product compare (cos is strictly decreasing on [0, pi], so no
+    arccos transcendental per pair per pixel)."""
+    dot = a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+    n2 = (a[0] * a[0] + a[1] * a[1] + a[2] * a[2]) * (
+        b[0] * b[0] + b[1] * b[1] + b[2] * b[2]
+    )
     return dot > cos_thresh * jnp.sqrt(jnp.maximum(n2, 1e-24))
 
 
-def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height: int):
-    """One ladder refinement step (reference ray.wgsl:183-241).
-
-    Every multiplier-th pixel copies the coarse value; in-between pixels
-    whose 4 coarse neighbours are all escapes (alpha 0) with mutually
-    aligned directions get a bilinearly interpolated direction; the rest
-    are re-traced in compacted dense chunks.
-    """
+def _refine_masks(prev_rows, cfg: RenderConfig, width: int, height: int):
+    """The ladder's per-fine-pixel decision (reference ray.wgsl:183-241):
+    returns (needs, known) where ``known`` is the 8-plane record of every
+    pixel that does NOT need tracing (coarse copy or interpolated escape)
+    and ``needs`` the (H, W) retrace mask."""
     m = cfg.ladder.multiplier
-    ph, pw = prev_img.shape[0], prev_img.shape[1]
-    o, d = camera_rays(scene.camera, width, height)
-
     xs = jnp.arange(width)
     ys = jnp.arange(height)
     gx, gy = jnp.meshgrid(xs, ys, indexing="xy")  # (H, W)
@@ -77,78 +82,127 @@ def _refine_level(prev_img, scene: Scene, cfg: RenderConfig, width: int, height:
     ty = gy // m
     exact = ((gx % m) == 0) & ((gy % m) == 0)
 
-    # The 4 coarse neighbours as nearest-upsamples of (shifted) prev_img:
+    # The 4 coarse neighbours as nearest-upsamples of (shifted) planes:
     # c_tl[yf, xf] = prev[yf//m, xf//m] is a repeat, and the +1 neighbours
-    # are repeats of edge-clamped shifts — pure stencil ops instead of 4
-    # full-frame gathers (TPU gathers cost ~per row).
+    # are repeats of edge-clamped shifts — pure stencil ops per plane, no
+    # gathers, full lane utilization.
     def up(img):
         r = jnp.repeat(jnp.repeat(img, m, axis=0), m, axis=1)
         return r[:height, :width]
 
-    sh_x = jnp.concatenate([prev_img[:, 1:], prev_img[:, -1:]], axis=1)
-    sh_y = jnp.concatenate([prev_img[1:], prev_img[-1:]], axis=0)
-    sh_xy = jnp.concatenate([sh_y[:, 1:], sh_y[:, -1:]], axis=1)
-    c_tl = up(prev_img)
-    c_tr = up(sh_x)
-    c_bl = up(sh_y)
-    c_br = up(sh_xy)
+    def sh_x(p):
+        return jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1)
+
+    def sh_y(p):
+        return jnp.concatenate([p[1:], p[-1:]], axis=0)
+
+    # Only alpha + dir planes are needed for the 3 non-TL neighbours.
+    tl = tuple(up(p) for p in prev_rows)
+    tr_a = up(sh_x(prev_rows[_R_ALPHA]))
+    bl_a = up(sh_y(prev_rows[_R_ALPHA]))
+    br_a = up(sh_x(sh_y(prev_rows[_R_ALPHA])))
+    tr_d = tuple(up(sh_x(prev_rows[i])) for i in _R_DIR)
+    bl_d = tuple(up(sh_y(prev_rows[i])) for i in _R_DIR)
+    br_d = tuple(up(sh_x(sh_y(prev_rows[i]))) for i in _R_DIR)
+    tl_d = tuple(tl[i] for i in _R_DIR)
 
     ct = math.cos(cfg.angle_division_threshold)
     aligned = (
-        _dirs_aligned(c_bl[..., REC_DIR], c_tl[..., REC_DIR], ct)
-        & _dirs_aligned(c_br[..., REC_DIR], c_tr[..., REC_DIR], ct)
-        & _dirs_aligned(c_tl[..., REC_DIR], c_tr[..., REC_DIR], ct)
-        & _dirs_aligned(c_bl[..., REC_DIR], c_br[..., REC_DIR], ct)
+        _dirs_aligned_ch(bl_d, tl_d, ct)
+        & _dirs_aligned_ch(br_d, tr_d, ct)
+        & _dirs_aligned_ch(tl_d, tr_d, ct)
+        & _dirs_aligned_ch(bl_d, br_d, ct)
     )
     all_escape = (
-        (c_tl[..., REC_ALPHA] == 0.0)
-        & (c_tr[..., REC_ALPHA] == 0.0)
-        & (c_bl[..., REC_ALPHA] == 0.0)
-        & (c_br[..., REC_ALPHA] == 0.0)
+        (tl[_R_ALPHA] == 0.0) & (tr_a == 0.0) & (bl_a == 0.0) & (br_a == 0.0)
     )
     can_interp = all_escape & aligned
 
-    fx = (gx / m - tx)[..., None]
-    fy = (gy / m - ty)[..., None]
-    dir_top = c_tl[..., REC_DIR] * (1 - fx) + c_tr[..., REC_DIR] * fx
-    dir_bot = c_bl[..., REC_DIR] * (1 - fx) + c_br[..., REC_DIR] * fx
-    dir_interp = dir_top * (1 - fy) + dir_bot * fy
-    # Interpolated-escape record: no color, alpha 0, full transmission.
-    zero3 = jnp.zeros_like(dir_interp)
-    interp_rec = jnp.concatenate(
-        [zero3, jnp.zeros_like(fx), jnp.ones_like(fx), dir_interp], axis=-1
+    fx = gx / m - tx
+    fy = gy / m - ty
+    dir_interp = tuple(
+        (tl_d[i] * (1 - fx) + tr_d[i] * fx) * (1 - fy)
+        + (bl_d[i] * (1 - fx) + br_d[i] * fx) * fy
+        for i in range(3)
     )
 
-    known = jnp.where(exact[..., None], c_tl, interp_rec)
+    # known = exact ? coarse copy : interpolated-escape record
+    # (no color, alpha 0, full transmission).
+    zeros = jnp.zeros_like(fx)
+    ones = jnp.ones_like(fx)
+    known = (
+        jnp.where(exact, tl[0], zeros),
+        jnp.where(exact, tl[1], zeros),
+        jnp.where(exact, tl[2], zeros),
+        jnp.where(exact, tl[3], zeros),
+        jnp.where(exact, tl[4], ones),
+        jnp.where(exact, tl[5], dir_interp[0]),
+        jnp.where(exact, tl[6], dir_interp[1]),
+        jnp.where(exact, tl[7], dir_interp[2]),
+    )
     needs = ~exact & ~can_interp
+    return needs, known
+
+
+def _refine_level(prev_rows, scene: Scene, cfg: RenderConfig, width: int,
+                  height: int):
+    """One ladder refinement step (reference ray.wgsl:183-241) on record
+    planes.
+
+    Every multiplier-th pixel copies the coarse value; in-between pixels
+    whose 4 coarse neighbours are all escapes (alpha 0) with mutually
+    aligned directions get a bilinearly interpolated direction; the rest
+    are re-traced with the needs mask as the march's initial active set.
+    """
+    o, d = camera_rays(scene.camera, width, height)
+    needs, known = _refine_masks(prev_rows, cfg, width, height)
 
     # --- masked dense retrace ---
     # Trace the whole level with the needs mask as the initial active set:
-    # the march's compaction packs live rays into dense tiles, so traced
-    # work tracks the needs count while every shape stays static.  This
-    # replaces the old serialized chunk loop (gather/trace/scatter per
-    # chunk), which cost a full pipeline round-trip per 32k rays.
+    # dead lanes stream through the march kernel untouched (its while cond
+    # votes per tile), so traced work tracks the needs count while every
+    # shape stays static and the level is one pipeline invocation.
     needs_flat = needs.reshape(-1)
-    res = trace_rays_record(
+    res = trace_rays_record_rows(
         o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg, active=needs_flat
     )
-    rec_flat = jnp.where(needs_flat[:, None], res, known.reshape(-1, 8))
-    return rec_flat.reshape(height, width, 8)
+    return tuple(
+        jnp.where(needs_flat, r, k.reshape(-1)).reshape(height, width)
+        for r, k in zip(res, known)
+    )
 
 
-def ladder_trace(scene: Scene, cfg: RenderConfig):
+def trace_image_record_rows(scene: Scene, cfg: RenderConfig, width: int,
+                            height: int, rounds=None):
+    """Dense sky-free record planes: 8 rows of shape (height, width)."""
+    from bhx.tracer import DEFAULT_ROUNDS
+
+    o, d = camera_rays(scene.camera, width, height)
+    rows = trace_rays_record_rows(
+        o.reshape(-1, 3), d.reshape(-1, 3), scene, cfg,
+        rounds if rounds is not None else DEFAULT_ROUNDS,
+    )
+    return tuple(r.reshape(height, width) for r in rows)
+
+
+def ladder_trace_rows(scene: Scene, cfg: RenderConfig):
     """Full coarse-to-fine trace at the ladder's final resolution.
 
-    Operates on sky-free records ((H, W, 8)); the caller finalizes sky
-    exactly once on the last level.
+    Operates on sky-free record planes (8 x (H, W)); the caller finalizes
+    sky exactly once on the last level.
     """
     lad = cfg.ladder_for_output()
     w0, h0 = lad.resolution(0)
-    rec = trace_image_record(scene, cfg, w0, h0)
+    rows = trace_image_record_rows(scene, cfg, w0, h0)
     for lvl in range(1, lad.levels):
         w, h = lad.resolution(lvl)
-        rec = _refine_level(rec, scene, cfg, w, h)
-    return rec
+        rows = _refine_level(rows, scene, cfg, w, h)
+    return rows
+
+
+def ladder_trace(scene: Scene, cfg: RenderConfig):
+    """Interleaved (H, W, 8) wrapper of :func:`ladder_trace_rows`."""
+    return jnp.stack(ladder_trace_rows(scene, cfg), axis=-1)
 
 
 def render(scene: Scene, cfg: RenderConfig = RenderConfig()):
@@ -158,46 +212,54 @@ def render(scene: Scene, cfg: RenderConfig = RenderConfig()):
     traceable function: jit it (or take its grad in dense mode) directly.
     """
     if cfg.use_ladder and cfg.march_mode != "diff":
-        rec = ladder_trace(scene, cfg)
+        rows = ladder_trace_rows(scene, cfg)
         lw, lh = cfg.ladder_for_output().final_resolution
         # Center-crop the ladder overshoot down to the requested output.
         x0 = (lw - cfg.width) // 2
         y0 = (lh - cfg.height) // 2
-        rec = jax.lax.dynamic_slice(
-            rec, (y0, x0, 0), (cfg.height, cfg.width, 8)
+        rows = tuple(
+            r[y0:y0 + cfg.height, x0:x0 + cfg.width] for r in rows
         )
     else:
-        rec = trace_image_record(scene, cfg, cfg.width, cfg.height)
+        rows = trace_image_record_rows(scene, cfg, cfg.width, cfg.height)
 
     # ONE sky pass for the whole frame (hit pixels' residual transmission
     # and escapes' full sky in the same formula).  In pallas+procedural
     # mode the star-grid radiance runs as a Pallas kernel — XLA evaluates
     # the same math ~10x off roofline (239 ms/frame measured at 1080p).
+    h, w = rows[0].shape
     if (
         cfg.texture_mode == "procedural"
         and cfg.march_mode in ("pallas", "pallas_interpret")
     ):
-        from bhx.kernels.shade_pallas import SkyKernelConfig, sky_finalize
+        from bhx.kernels.shade_pallas import SkyKernelConfig, sky_finalize_rows
 
-        rgb = sky_finalize(
-            rec,
+        flat = tuple(r.reshape(-1) for r in rows)
+        rgb_rows = sky_finalize_rows(
+            flat,
             SkyKernelConfig(
                 show_sky=cfg.show_sky,
                 sublanes=cfg.pallas_shade_sublanes,
                 interpret=cfg.march_mode == "pallas_interpret",
             ),
         )
+        chw = jnp.stack([r.reshape(h, w) for r in rgb_rows])
     else:
-        rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky, cfg.texture_mode)
+        rgb_rows = finalize_image_rows(
+            rows, scene.sky_texture, cfg.show_sky, cfg.texture_mode
+        )
+        chw = jnp.stack(rgb_rows)
 
+    # Post chain, channel-major (3, H, W): elementwise ops get lanes from
+    # W and the bloom matmuls batch over channels.
     if cfg.bloom.enabled:
-        bloom = bloom_chain(rgb, cfg.bloom)
-        rgb = mix_pass(rgb, bloom, cfg.bloom.mix_ratio)
+        bloom = bloom_chain_chw(chw, cfg.bloom)
+        chw = mix_pass(chw, bloom, cfg.bloom.mix_ratio)
     if cfg.tonemap:
-        rgb = tonemap_pass(rgb)
+        chw = tonemap_pass(chw, channel_major=True)
     if cfg.fxaa.enabled:
-        rgb = fxaa_pass(rgb, cfg.fxaa)
-    return rgb
+        chw = fxaa_pass_chw(chw, cfg.fxaa)
+    return jnp.moveaxis(chw, 0, -1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -233,8 +295,7 @@ def render_tiled(
 
     import numpy as np
 
-    from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
-    from bhx.tracer import camera_rays, trace_rays_record
+    from bhx.tracer import camera_rays, finalize_image, trace_rays_record
 
     h, w = cfg.height, cfg.width
     rec_np = np.zeros((h, w, 8), np.float32)
@@ -273,10 +334,11 @@ def render_tiled(
 
     rec = jnp.asarray(rec_np)
     rgb = finalize_image(rec, scene.sky_texture, cfg.show_sky, cfg.texture_mode)
+    chw = jnp.moveaxis(rgb, -1, 0)
     if cfg.bloom.enabled:
-        rgb = mix_pass(rgb, bloom_chain(rgb, cfg.bloom), cfg.bloom.mix_ratio)
+        chw = mix_pass(chw, bloom_chain_chw(chw, cfg.bloom), cfg.bloom.mix_ratio)
     if cfg.tonemap:
-        rgb = tonemap_pass(rgb)
+        chw = tonemap_pass(chw, channel_major=True)
     if cfg.fxaa.enabled:
-        rgb = fxaa_pass(rgb, cfg.fxaa)
-    return rgb
+        chw = fxaa_pass_chw(chw, cfg.fxaa)
+    return jnp.moveaxis(chw, 0, -1)

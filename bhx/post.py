@@ -104,17 +104,18 @@ def bloom_upsample(img, out_wh: Tuple[int, int], radius_uv: float = 0.005):
     return _separable_pass(img, taps_y, taps_x, out_wh)
 
 
-def bloom_chain(img, cfg: BloomConfig):
-    """5-down / 5-up pyramid with the reference's float-tracked resolutions
-    (renderer/mod.rs:219-256: res /= 2 five times then *= 2 five times,
-    truncating to integers at each pass).  Channel-major internally — one
-    moveaxis in/out, all ten passes are batched MXU matmuls."""
-    h, w = img.shape[0], img.shape[1]
+def bloom_chain_chw(chw, cfg: BloomConfig):
+    """5-down / 5-up pyramid on a channel-major (3, H, W) image — the
+    native layout: all ten passes are batched MXU matmuls and no
+    transpose ever happens (reference res schedule renderer/mod.rs:219-256:
+    res /= 2 five times then *= 2 five times, truncating to integers at
+    each pass)."""
+    h, w = chw.shape[1], chw.shape[2]
     # Cap the pyramid depth so no level degenerates below 1x1 (tiny debug
     # renders; the reference always runs at >= 59x33 bottom level).
     levels = max(0, min(cfg.levels, min(w, h).bit_length() - 1))
     fres = (float(w), float(h))
-    cur = jnp.moveaxis(img, -1, 0)
+    cur = chw
     for _ in range(levels):
         fres = (fres[0] / 2.0, fres[1] / 2.0)
         cur = bloom_downsample(cur, (max(int(fres[0]), 1), max(int(fres[1]), 1)))
@@ -123,16 +124,22 @@ def bloom_chain(img, cfg: BloomConfig):
         cur = bloom_upsample(
             cur, (max(int(fres[0]), 1), max(int(fres[1]), 1)), cfg.up_radius_uv
         )
-    return jnp.moveaxis(cur, 0, -1)
+    return cur
+
+
+def bloom_chain(img, cfg: BloomConfig):
+    """(H, W, C) wrapper of :func:`bloom_chain_chw` (one moveaxis in/out)."""
+    return jnp.moveaxis(bloom_chain_chw(jnp.moveaxis(img, -1, 0), cfg), 0, -1)
 
 
 def mix_pass(scene_img, bloom_img, mix_ratio: float):
-    """final = ratio * scene + (1 - ratio) * bloom (mix.wgsl:32-35)."""
+    """final = ratio * scene + (1 - ratio) * bloom (mix.wgsl:32-35).
+    Elementwise — layout-agnostic ((H, W, C) or (C, H, W))."""
     return mix_ratio * scene_img + (1.0 - mix_ratio) * bloom_img
 
 
-def tonemap_pass(img):
-    return aces_tonemap(img)
+def tonemap_pass(img, channel_major: bool = False):
+    return aces_tonemap(img, channel_major=channel_major)
 
 
 # ---------------------------------------------------------------------------
@@ -163,16 +170,21 @@ def _shift(a, dy: int, dx: int):
     return a
 
 
-def fxaa_pass(img, cfg: FxaaConfig):
-    """FXAA 3.11 quality AA (fxaa.wgsl:40-200), fully vectorized.
+def fxaa_pass_chw(chw, cfg: FxaaConfig):
+    """FXAA 3.11 quality AA (fxaa.wgsl:40-200), fully vectorized, on a
+    channel-major (3, H, W) image (the pipeline's native layout — every
+    stencil op runs on full-width (H, W) planes).
 
     The WGSL offset convention has +1 row = "up": its `lumaUp` samples
     offset (0, +1) in texel space.  We keep that naming — "up" here means
     +row; the algorithm is symmetric so orientation is immaterial.
     """
-    hgt, wdt = img.shape[0], img.shape[1]
+    rp, gp, bp = chw[0], chw[1], chw[2]
+    hgt, wdt = rp.shape[0], rp.shape[1]
     inv_w, inv_h = 1.0 / wdt, 1.0 / hgt
-    luma_img = _luma(img)
+    luma_img = jnp.sqrt(
+        jnp.clip(0.299 * rp + 0.587 * gp + 0.114 * bp, 0.0, None)
+    )
 
     l_c = luma_img
     l_down = _shift(luma_img, -1, 0)
@@ -306,11 +318,22 @@ def fxaa_pass(img, cfg: FxaaConfig):
     final_offset = jnp.maximum(final_offset, sub_final)
 
     # Final resample: a sub-texel shift (|t| < 1) along the perpendicular
-    # axis only — a 2-texel lerp via shifted images, no gather
+    # axis only — a 2-texel lerp via shifted planes, no gather
     # (fxaa.wgsl:191-198).
-    t = final_offset[..., None]
-    nb_h = jnp.where(is1[..., None], _shift(img, -1, 0), _shift(img, +1, 0))
-    nb_v = jnp.where(is1[..., None], _shift(img, 0, -1), _shift(img, 0, +1))
-    neighbor = jnp.where(is_horizontal[..., None], nb_h, nb_v)
-    out = img * (1.0 - t) + neighbor * t
-    return jnp.where(no_edge[..., None], img, out)
+    t = final_offset
+
+    def resample(chan):
+        nb_h = jnp.where(is1, _shift(chan, -1, 0), _shift(chan, +1, 0))
+        nb_v = jnp.where(is1, _shift(chan, 0, -1), _shift(chan, 0, +1))
+        neighbor = jnp.where(is_horizontal, nb_h, nb_v)
+        out = chan * (1.0 - t) + neighbor * t
+        return jnp.where(no_edge, chan, out)
+
+    return jnp.stack([resample(c) for c in (rp, gp, bp)])
+
+
+def fxaa_pass(img, cfg: FxaaConfig):
+    """(H, W, 3) wrapper of :func:`fxaa_pass_chw`."""
+    return jnp.moveaxis(
+        fxaa_pass_chw(jnp.moveaxis(img, -1, 0), cfg), 0, -1
+    )

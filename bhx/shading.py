@@ -306,14 +306,18 @@ _ACES_M2 = (
 )
 
 
-def aces_tonemap(rgb):
+def aces_tonemap(rgb, channel_major: bool = False):
     """ACES-fitted tonemap (reference hdr.wgsl:1-16).
 
     The 3x3 color transforms are unrolled to plane-wise fused multiply-adds
     — a per-pixel (3,3)x(3,) einsum makes XLA emit a 3-lane matmul that
     measured 25 ms at 1080p; 18 fma on (H, W) planes is bandwidth-bound.
+    ``channel_major``: input/output (3, H, W) instead of (..., 3).
     """
-    ch = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
+    if channel_major:
+        ch = [rgb[0], rgb[1], rgb[2]]
+    else:
+        ch = [rgb[..., 0], rgb[..., 1], rgb[..., 2]]
     v = [
         m[0] * ch[0] + m[1] * ch[1] + m[2] * ch[2] for m in _ACES_M1
     ]
@@ -326,4 +330,4 @@ def aces_tonemap(rgb):
         jnp.clip(m[0] * cur[0] + m[1] * cur[1] + m[2] * cur[2], 0.0, 1.0)
         for m in _ACES_M2
     ]
-    return jnp.stack(out, axis=-1)
+    return jnp.stack(out, axis=0 if channel_major else -1)

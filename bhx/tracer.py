@@ -697,19 +697,26 @@ REC_AMOUNT = 4            # residual transmission (sky weight)
 REC_DIR = slice(5, 8)     # final ray direction (sky lookup / interpolation)
 
 
-def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
-                      rounds: int = DEFAULT_ROUNDS, active=None):
-    """Trace a flat batch of rays to the sky-free record. (N, 3) -> (N, 8).
+def trace_rays_record_rows(origins, directions, scene: Scene,
+                           cfg: RenderConfig, rounds: int = DEFAULT_ROUNDS,
+                           active=None):
+    """Trace a flat batch of rays to the sky-free record as a tuple of 8
+    (N,) rows: (cr, cg, cb, alpha, amount, dx, dy, dz).
 
-    Record channels: [color(3), alpha, amount, dir(3)].  Sky is NOT
+    Rows (structure-of-arrays) are the canonical record layout: a trailing
+    channel dim of 8 lands in the TPU lane dimension (8 of 128 lanes used
+    — every downstream elementwise op pays ~16x its bandwidth), and the
+    Pallas shade/sky kernels consume rows natively, so keeping planes
+    end-to-end avoids every interleave/deinterleave.  Sky is NOT
     composited — callers apply ``finalize_sky``/``finalize_image`` exactly
     once per frame (the reference samples sky per trace because GPU texture
     units are free; on TPU each bilinear costs a gather, so the ladder
     traces levels sky-free and one final pass touches the sky texture).
 
     ``active`` (optional bool (N,)): rays with False are dead lanes that
-    produce an escape record untouched; the Pallas march's compaction
-    squeezes them out, so the cost of a masked trace tracks the True count.
+    produce an escape record untouched; the march kernel's per-lane
+    activity mask skips them, so the cost of a masked trace tracks the
+    True count.
     """
     bh = scene.black_hole
     deferred = cfg.march_mode in ("pallas", "pallas_interpret")
@@ -750,9 +757,10 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
     state["status"] = jnp.where(state["status"] == 1, jnp.int32(2), state["status"])
 
     if deferred:
-        color, amount = _shade_deferred(state, scene, cfg, cam_dist)
+        (cr, cg, cb), amount = _shade_deferred(state, scene, cfg, cam_dist)
     else:
         color, amount = state["color"], state["amount"]
+        cr, cg, cb = color[:, 0], color[:, 1], color[:, 2]
 
     # Classification (reference ray.wgsl:583-595): final-color pixels are
     # those that composited something, plus near-trivial marches (i <= 5);
@@ -762,9 +770,23 @@ def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
     final_alpha1 = state["hit"] | few
     alpha = jnp.where(final_alpha1, 1.0, 0.0)
 
-    return jnp.concatenate(
-        [color, alpha[:, None], amount[:, None], state["dir"]], axis=-1
+    d = state["dir"]
+    return (cr, cg, cb, alpha, amount, d[:, 0], d[:, 1], d[:, 2])
+
+
+def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
+                      rounds: int = DEFAULT_ROUNDS, active=None):
+    """Trace a flat batch of rays to the sky-free record. (N, 3) -> (N, 8).
+
+    Interleaved (array-of-structures) wrapper of
+    :func:`trace_rays_record_rows` — record channels
+    [color(3), alpha, amount, dir(3)].  Hot paths (the ladder pipeline)
+    use the rows variant directly and never build this array.
+    """
+    rows = trace_rays_record_rows(
+        origins, directions, scene, cfg, rounds, active
     )
+    return jnp.stack(rows, axis=-1)
 
 
 def crossing_overflow_stats(scene: Scene, cfg: RenderConfig, width: int,
@@ -775,8 +797,9 @@ def crossing_overflow_stats(scene: Scene, cfg: RenderConfig, width: int,
     further crossings still attenuate the early-exit transmission bound but
     are never shaded (the reference composites unboundedly,
     ray.wgsl:571-580).  Returns the fraction of rays that dropped at least
-    one crossing and the total dropped count — logged by the viewer/CLI
-    and bounded by tests/test_pallas.py even for edge-on disks.
+    one crossing and the total dropped count — reported in every bench
+    JSON (bhx.bench.run_bench "overflow_frac"), shown in the viewer status
+    line, and bounded by tests/test_pallas.py even for edge-on disks.
     """
     assert cfg.march_mode in ("pallas", "pallas_interpret")
     o, d = camera_rays(scene.camera, width, height)
@@ -813,19 +836,17 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
     bh = scene.black_hole
     rot_mat, _ = bh.disk_frame()
     n = state["pos"].shape[0]
-    color = jnp.zeros((n, 3), jnp.float32)
+    cr = cg = cb = jnp.zeros((n,), jnp.float32)
     trans_total = jnp.ones((n,), jnp.float32)
     if cfg.show_disk:
         CF = CROSS_FIELDS
         slots = state["slots"]  # tuple of K*CROSS_FIELDS (n,) rows
         K = len(slots) // CF
-        valid_k = [slots[k * CF + 6] > 0.5 for k in range(K)]
         if cfg.texture_mode == "procedural":
             from bhx.kernels.shade_pallas import (
                 ShadeKernelConfig,
-                composite_ingredients,
                 pack_shade_params,
-                shade_ingredients,
+                shade_composite,
             )
 
             kcfg = ShadeKernelConfig(
@@ -836,11 +857,11 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
                 interpret=cfg.march_mode == "pallas_interpret",
             )
             params = pack_shade_params(bh, rot_mat, scene.time)
-            ing = shade_ingredients(slots, cam_dist, params, kcfg)
-            color, trans_total = composite_ingredients(
-                ing, valid_k, scene.disk_gain, kcfg
+            cr, cg, cb, trans_total = shade_composite(
+                slots, cam_dist, params, scene.disk_gain, kcfg
             )
         else:
+            valid_k = [slots[k * CF + 6] > 0.5 for k in range(K)]
             cam_kn = jnp.broadcast_to(cam_dist[None, :], (K, n)).reshape(-1)
             pos_f = jnp.stack(
                 [jnp.stack([slots[k * CF + f] for f in range(3)], axis=-1)
@@ -865,15 +886,17 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
             )
             contrib = (trans_before * op_kn)[..., None] * rgb_kn
             color = contrib.sum(axis=0)
+            cr, cg, cb = color[:, 0], color[:, 1], color[:, 2]
             trans_total = trans[-1]
     # Opaque mesh hit: weighted by the transmission through every recorded
     # crossing (all of which precede it on the ray).
-    mesh_add = trans_total[:, None] * jnp.clip(state["mesh_color"], 0.0, 1.0)
-    color = jnp.where(state["mesh_hit"][:, None], color + mesh_add, color)
-    amount = jnp.where(
-        state["mesh_hit"] | state["horizon"], 0.0, trans_total
-    )
-    return color, amount
+    mesh_hit = state["mesh_hit"]
+    mc = state["mesh_color"]
+    cr = jnp.where(mesh_hit, cr + trans_total * jnp.clip(mc[:, 0], 0.0, 1.0), cr)
+    cg = jnp.where(mesh_hit, cg + trans_total * jnp.clip(mc[:, 1], 0.0, 1.0), cg)
+    cb = jnp.where(mesh_hit, cb + trans_total * jnp.clip(mc[:, 2], 0.0, 1.0), cb)
+    amount = jnp.where(mesh_hit | state["horizon"], 0.0, trans_total)
+    return (cr, cg, cb), amount
 
 
 def finalize_sky(record, sky_tex, show_sky: bool = True,
@@ -912,6 +935,34 @@ def finalize_image(record, sky_tex, show_sky: bool = True,
     sky = sample_sky(sky_tex, record[..., REC_DIR], texture_mode)
     w = jnp.where(amount > 0.001, amount, 0.0)
     return color + w[..., None] * sky
+
+
+def finalize_image_rows(rows, sky_tex, show_sky: bool = True,
+                        texture_mode: str = "array"):
+    """Final rgb rows from record rows: 8 x (...,) -> 3 x (...,).
+
+    Rows-native variant of :func:`finalize_image`: sky sampled once,
+    ``color + amount * sky(dir)`` exact for hits and escapes alike.  In
+    procedural mode the radiance is evaluated channel-wise straight from
+    the direction rows; array mode stacks the direction rows once for the
+    bilinear texture fetch.
+    """
+    cr, cg, cb, _, amount, dx, dy, dz = rows
+    if not show_sky:
+        return cr, cg, cb
+    w = jnp.where(amount > 0.001, amount, 0.0)
+    if texture_mode == "procedural":
+        from bhx.procedural import sky_radiance_channels
+        from bhx.shading import sky_uv
+
+        u, v = sky_uv(jnp.stack([dx, dy, dz], axis=-1))
+        sr, sg, sb = sky_radiance_channels(u, v)
+    else:
+        sky = sample_sky(
+            sky_tex, jnp.stack([dx, dy, dz], axis=-1), texture_mode
+        )
+        sr, sg, sb = sky[..., 0], sky[..., 1], sky[..., 2]
+    return cr + w * sr, cg + w * sg, cb + w * sb
 
 
 def trace_rays(origins, directions, scene: Scene, cfg: RenderConfig,

@@ -62,6 +62,8 @@ input[type=range] { width:100% }
     <input type="range" id="max_iter" min="100" max="4000" step="100" value="800"></label>
   <label><input type="checkbox" id="paused"> pause</label>
   <button id="step_btn">step time +0.1</button>
+  <button id="stats_btn">crossing-overflow stats</button>
+  <div id="overflow"></div>
   <hr>
   <b>model</b>
   <label><input type="checkbox" id="mesh_enabled"> mesh (cube or OBJ)</label>
@@ -113,8 +115,11 @@ async function render() {
   const r = await fetch('/render', {method:'POST', body:JSON.stringify(state())});
   const blob = await r.blob();
   img.src = URL.createObjectURL(blob);
+  let st = {};
+  try { st = JSON.parse(r.headers.get('X-Bhx-Stats')||'{}'); } catch(e){}
   document.getElementById('status').textContent =
-    `${((performance.now()-t0)/1000).toFixed(2)}s/frame`;
+    `${((performance.now()-t0)/1000).toFixed(2)}s/frame` +
+    (st.mrays_per_s ? ` | ${st.mrays_per_s} Mrays/s (device)` : '');
   document.getElementById('mass_v').textContent = state().mass;
   document.getElementById('spin_v').textContent = state().spin;
   document.getElementById('step_size_v').textContent = state().step_size;
@@ -125,6 +130,10 @@ async function render() {
 document.querySelectorAll('input,select').forEach(el=>el.addEventListener('input',render));
 document.getElementById('paused').addEventListener('change', e=>{
   if(!e.target.checked && queued){ queued=false; render(); }
+});
+document.getElementById('stats_btn').addEventListener('click', async ()=>{
+  const r = await fetch('/stats', {method:'POST', body:JSON.stringify(state())});
+  document.getElementById('overflow').textContent = await r.text();
 });
 document.getElementById('step_btn').addEventListener('click', ()=>{
   // Step-mode: advance scene time one tick while paused.
@@ -176,6 +185,7 @@ class ViewerServer:
         self.march_mode = march_mode
         self._lock = threading.Lock()
         self._mesh_cache: dict = {}
+        self.last_stats: dict = {}
 
     def _get_mesh(self, obj_path: str):
         """Base mesh arrays for the model panel (cached per path).
@@ -290,12 +300,61 @@ class ViewerServer:
                 fxaa=FxaaConfig(enabled=bool(req.get("fxaa", True))),
                 tonemap=bool(req.get("tonemap", True)),
             )
+            import time as _time
+
+            t0 = _time.perf_counter()
             img = to_uint8(np.asarray(render_jit(scene, cfg)))
+            dt = _time.perf_counter() - t0
+            # Device-side throughput for the status line (first call after
+            # a static-setting change includes the compile — the status
+            # shows that honestly, like the reference's frame timer).
+            self.last_stats = {
+                "mrays_per_s": round(self.width * self.height / dt / 1e6, 2),
+                "frame_s": round(dt, 3),
+            }
         from PIL import Image
 
         buf = _io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")
         return buf.getvalue()
+
+    def overflow_stats(self, req: dict) -> dict:
+        """K-slot crossing-drop accounting for the current settings
+        (tracer.crossing_overflow_stats) at a coarse resolution — the
+        viewer's on-demand diagnostic for the record-don't-shade design.
+        Only meaningful (and only computed) in pallas march modes."""
+        if self.march_mode not in ("pallas", "pallas_interpret"):
+            return {"overflow_frac": 0.0, "note": "jnp march composites unboundedly"}
+        import jax
+        import jax.numpy as jnp
+
+        from bhx.config import RenderConfig
+        from bhx.scene import Scene
+        from bhx.tracer import crossing_overflow_stats
+
+        with self._lock:
+            scene = Scene.default()
+            bh = dataclasses.replace(
+                scene.black_hole,
+                mass=jnp.float32(req.get("mass", 0.5)),
+                spin=jnp.float32(req.get("spin", 0.0)),
+                disk_inner=jnp.float32(req.get("disk_inner", 2.0)),
+                disk_outer=jnp.float32(req.get("disk_outer", 10.0)),
+            )
+            scene = dataclasses.replace(scene, black_hole=bh)
+            cfg = RenderConfig(
+                width=320, height=180, use_ladder=False,
+                march_mode=self.march_mode,
+                geodesics="kerr" if req.get("kerr") else "pseudo",
+            )
+            stats = jax.jit(
+                lambda s: crossing_overflow_stats(s, cfg, 320, 180)
+            )(scene)
+            return {
+                "overflow_frac": round(float(stats["overflow_frac"]), 5),
+                "dropped_total": int(stats["dropped_total"]),
+                "max_count": int(stats["max_count"]),
+            }
 
 
 def serve(host="127.0.0.1", port=8089, **kw):
@@ -316,6 +375,13 @@ def serve(host="127.0.0.1", port=8089, **kw):
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/stats":
+                    body = json.dumps(server.overflow_stats(req)).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 png = server.render_frame(req)
             except Exception as e:  # surface render/parse errors to the client
                 self.send_response(500)
@@ -324,6 +390,7 @@ def serve(host="127.0.0.1", port=8089, **kw):
                 return
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
+            self.send_header("X-Bhx-Stats", json.dumps(server.last_stats))
             self.end_headers()
             self.wfile.write(png)
 

@@ -41,9 +41,11 @@ def timed(fn, *args, iters=4):
 def main():
     from bhx.config import LadderConfig, RenderConfig
     from bhx.kernels.march_pallas import MarchKernelConfig, march_pallas, pack_params
-    from bhx.pipeline import _refine_level, ladder_trace
+    from bhx.pipeline import (
+        _refine_level, _refine_masks, trace_image_record_rows,
+    )
     from bhx.scene import Scene
-    from bhx.tracer import camera_rays, trace_image_record, trace_rays_record
+    from bhx.tracer import camera_rays, trace_rays_record
 
     W, H = 1918, 1081
     scene = Scene.default()
@@ -61,44 +63,17 @@ def main():
         results[label] = round(ms, 1)
         print(f"{label:44s}: {ms:8.1f} ms")
 
-    # Build the REAL L2 record and L3 needs mask.
+    # Build the REAL L2 record planes and L3 needs mask (via the
+    # pipeline's own mask logic — no duplicated stencil code).
     w0, h0 = lad.resolution(0)
-    rec = trace_image_record(scene, cfg, w0, h0)
+    rows = trace_image_record_rows(scene, cfg, w0, h0)
     for lvl in range(1, lad.levels - 1):
         w, h = lad.resolution(lvl)
-        rec = _refine_level(rec, scene, cfg, w, h)
+        rows = _refine_level(rows, scene, cfg, w, h)
     w3, h3 = lad.resolution(lad.levels - 1)
-
-    # Reproduce _refine_level's needs mask at L3.
-    import math as _math
-    from bhx.tracer import REC_ALPHA, REC_DIR
-    from bhx.pipeline import _dirs_aligned
-    m = cfg.ladder.multiplier
     o, d = camera_rays(scene.camera, w3, h3)
-    gx, gy = jnp.meshgrid(jnp.arange(w3), jnp.arange(h3), indexing="xy")
-    exact = ((gx % m) == 0) & ((gy % m) == 0)
-
-    def up(img):
-        r = jnp.repeat(jnp.repeat(img, m, axis=0), m, axis=1)
-        return r[:h3, :w3]
-
-    prev = rec
-    sh_x = jnp.concatenate([prev[:, 1:], prev[:, -1:]], axis=1)
-    sh_y = jnp.concatenate([prev[1:], prev[-1:]], axis=0)
-    sh_xy = jnp.concatenate([sh_y[:, 1:], sh_y[:, -1:]], axis=1)
-    c_tl, c_tr, c_bl, c_br = up(prev), up(sh_x), up(sh_y), up(sh_xy)
-    ct = _math.cos(cfg.angle_division_threshold)
-    aligned = (
-        _dirs_aligned(c_bl[..., REC_DIR], c_tl[..., REC_DIR], ct)
-        & _dirs_aligned(c_br[..., REC_DIR], c_tr[..., REC_DIR], ct)
-        & _dirs_aligned(c_tl[..., REC_DIR], c_tr[..., REC_DIR], ct)
-        & _dirs_aligned(c_bl[..., REC_DIR], c_br[..., REC_DIR], ct)
-    )
-    all_escape = (
-        (c_tl[..., REC_ALPHA] == 0.0) & (c_tr[..., REC_ALPHA] == 0.0)
-        & (c_bl[..., REC_ALPHA] == 0.0) & (c_br[..., REC_ALPHA] == 0.0)
-    )
-    needs = (~exact & ~(all_escape & aligned)).reshape(-1)
+    needs, _ = _refine_masks(rows, cfg, w3, h3)
+    needs = needs.reshape(-1)
     needs_np = np.asarray(needs)
     n = w3 * h3
     kcfg = MarchKernelConfig(
@@ -122,7 +97,7 @@ def main():
 
     # The current full L3 refine, for reference.
     f = jax.jit(lambda prev, s: _refine_level(prev, s, cfg, w3, h3))
-    report("L3 refine (current code)", timed(f, rec, scene))
+    report("L3 refine (current code)", timed(f, rows, scene))
 
     # Strategy A: trace_rays_record with active mask (what refine calls).
     o_f, d_f = o.reshape(-1, 3), d.reshape(-1, 3)

@@ -39,11 +39,13 @@ def timed(fn, *args, iters=4):
 
 def main():
     from bhx.config import LadderConfig, RenderConfig
-    from bhx.pipeline import _refine_level
+    from bhx.pipeline import (
+        _refine_level, _refine_masks, trace_image_record_rows,
+    )
     from bhx.scene import Scene
     from bhx.tracer import (
         _init_state, _march_phase, _shade_deferred, _straight_phase,
-        camera_rays, trace_image_record, trace_rays_record,
+        camera_rays, trace_rays_record,
     )
 
     W, H = 1918, 1081
@@ -62,47 +64,18 @@ def main():
         results[label] = round(ms, 1)
         print(f"{label:36s}: {ms:8.1f} ms")
 
-    # Build the real L2 record; use the refine internals to get the L3
-    # needs mask exactly as the pipeline computes it.
+    # Build the real L2 record planes; the pipeline's own mask logic
+    # yields the L3 needs mask exactly as _refine_level computes it.
     w0, h0 = lad.resolution(0)
-    rec = trace_image_record(scene, cfg, w0, h0)
+    rows = trace_image_record_rows(scene, cfg, w0, h0)
     for lvl in range(1, lad.levels - 1):
         w, h = lad.resolution(lvl)
-        rec = _refine_level(rec, scene, cfg, w, h)
+        rows = _refine_level(rows, scene, cfg, w, h)
     w3, h3 = lad.resolution(lad.levels - 1)
     o, d = camera_rays(scene.camera, w3, h3)
     o, d = o.reshape(-1, 3), d.reshape(-1, 3)
-
-    # Reuse _refine_level to get needs: run it but capture via a monkey-
-    # patchless duplicate of its mask logic is already in bisect_l3; here
-    # just load the saved count sanity and recompute needs inline.
-    import math as _math
-    from bhx.pipeline import _dirs_aligned
-    from bhx.tracer import REC_ALPHA, REC_DIR
-    m = cfg.ladder.multiplier
-    gx, gy = jnp.meshgrid(jnp.arange(w3), jnp.arange(h3), indexing="xy")
-    exact = ((gx % m) == 0) & ((gy % m) == 0)
-
-    def up(img):
-        r = jnp.repeat(jnp.repeat(img, m, axis=0), m, axis=1)
-        return r[:h3, :w3]
-
-    sh_x = jnp.concatenate([rec[:, 1:], rec[:, -1:]], axis=1)
-    sh_y = jnp.concatenate([rec[1:], rec[-1:]], axis=0)
-    sh_xy = jnp.concatenate([sh_y[:, 1:], sh_y[:, -1:]], axis=1)
-    c_tl, c_tr, c_bl, c_br = up(rec), up(sh_x), up(sh_y), up(sh_xy)
-    ct = _math.cos(cfg.angle_division_threshold)
-    aligned = (
-        _dirs_aligned(c_bl[..., REC_DIR], c_tl[..., REC_DIR], ct)
-        & _dirs_aligned(c_br[..., REC_DIR], c_tr[..., REC_DIR], ct)
-        & _dirs_aligned(c_tl[..., REC_DIR], c_tr[..., REC_DIR], ct)
-        & _dirs_aligned(c_bl[..., REC_DIR], c_br[..., REC_DIR], ct)
-    )
-    all_escape = (
-        (c_tl[..., REC_ALPHA] == 0.0) & (c_tr[..., REC_ALPHA] == 0.0)
-        & (c_bl[..., REC_ALPHA] == 0.0) & (c_br[..., REC_ALPHA] == 0.0)
-    )
-    needs = (~exact & ~(all_escape & aligned)).reshape(-1)
+    needs, _ = _refine_masks(rows, cfg, w3, h3)
+    needs = needs.reshape(-1)
     print(f"needs: {int(needs.sum())} / {needs.shape[0]}")
 
     bh = scene.black_hole

@@ -39,11 +39,15 @@ def timed(fn, *args, iters=4):
 
 def main():
     from bhx.config import LadderConfig, RenderConfig
-    from bhx.pipeline import _refine_level, ladder_trace, render
-    from bhx.post import bloom_chain, fxaa_pass, mix_pass, tonemap_pass
-    from bhx.kernels.shade_pallas import SkyKernelConfig, sky_finalize
+    from bhx.pipeline import (
+        _refine_level,
+        ladder_trace_rows,
+        render,
+        trace_image_record_rows,
+    )
+    from bhx.post import bloom_chain_chw, fxaa_pass_chw, mix_pass, tonemap_pass
+    from bhx.kernels.shade_pallas import SkyKernelConfig, sky_finalize_rows
     from bhx.scene import Scene
-    from bhx.tracer import trace_image_record
 
     W, H = 1918, 1081
     scene = Scene.default()
@@ -64,7 +68,7 @@ def main():
 
     # Level 0 + each refine level, cumulative (each jitted separately).
     w0, h0 = lad.resolution(0)
-    f0 = jax.jit(lambda s: trace_image_record(s, cfg, w0, h0))
+    f0 = jax.jit(lambda s: trace_image_record_rows(s, cfg, w0, h0))
     report("L0 trace", timed(f0, scene))
     rec = f0(scene)
     recs = [rec]
@@ -76,22 +80,30 @@ def main():
         report(f"L{lvl} refine {w}x{h}", timed(f, recs[-1], scene))
         recs.append(f(recs[-1], scene))
 
-    f = jax.jit(lambda s: ladder_trace(s, cfg))
+    f = jax.jit(lambda s: ladder_trace_rows(s, cfg))
     report("ladder total", timed(f, scene))
 
     rec_full = recs[-1]
     skk = SkyKernelConfig(show_sky=True, sublanes=cfg.pallas_shade_sublanes)
-    f = jax.jit(lambda r: sky_finalize(r, skk))
-    report("sky finalize", timed(f, rec_full))
-    rgb = f(rec_full)[:H, :W]
 
-    f = jax.jit(lambda x: bloom_chain(x, cfg.bloom))
+    def skyf(rows):
+        flat = tuple(r.reshape(-1) for r in rows)
+        out = sky_finalize_rows(flat, skk)
+        h, w = rows[0].shape
+        return jnp.stack([o.reshape(h, w) for o in out])
+
+    f = jax.jit(skyf)
+    report("sky finalize", timed(f, rec_full))
+    rgb = f(rec_full)[:, :H, :W]
+
+    f = jax.jit(lambda x: bloom_chain_chw(x, cfg.bloom))
     report("bloom", timed(f, rgb))
     bl = f(rgb)
-    f = jax.jit(lambda x, b: tonemap_pass(mix_pass(x, b, cfg.bloom.mix_ratio)))
+    f = jax.jit(lambda x, b: tonemap_pass(
+        mix_pass(x, b, cfg.bloom.mix_ratio), channel_major=True))
     report("mix+tonemap", timed(f, rgb, bl))
     mixed = f(rgb, bl)
-    f = jax.jit(lambda x: fxaa_pass(x, cfg.fxaa))
+    f = jax.jit(lambda x: fxaa_pass_chw(x, cfg.fxaa))
     report("fxaa", timed(f, mixed))
 
     f = jax.jit(lambda s: render(s, cfg))
