@@ -38,13 +38,14 @@ Design (same recompute-adjoint pattern as
 
 Gradients produced: w.r.t. the input rays (origin, direction, h,
 incoming transmission — hence camera pose and fov) and the scalar
-parameter vector (hole position, mass, disk plane normal; disk
-inner/outer/horizon/relativity radii enter the march only through masks —
-their smooth gradients flow through shading instead, exactly like the
-jnp "diff" path).  Euler only: the RK45 controller's rejection-retry
-chain has data-dependent step sizes whose replay adds little value
-(training runs use fixed-step Euler; RK45 gradients remain available via
-``march_mode="diff"``).
+parameter vector (hole position, mass, disk plane normal, and — on the
+Kerr path — spin; disk inner/outer/horizon/relativity radii enter the
+march only through masks — their smooth gradients flow through shading
+instead, exactly like the jnp "diff" path).  All three integration paths
+are mirrored: Euler, RK45 (with the controller's h-carry — rejected
+lanes retry with the shrunken step, differentiated like the "diff" mode
+scan does), and the Kerr Hamiltonian RK4 (whose dH/dx inner ``jax.vjp``
+the backward rule differentiates again — second-order AD).
 """
 
 from __future__ import annotations
@@ -56,7 +57,6 @@ import jax.numpy as jnp
 
 from bhx.kernels.march_pallas import (
     CROSS_FIELDS,
-    IN_FIELDS,
     OUT_FIXED,
     MarchKernelConfig,
     _OUT_FIXED,
@@ -86,16 +86,56 @@ def total_steps(kcfg: MarchKernelConfig) -> int:
     return -(-kcfg.max_iterations // b) * b
 
 
+def _kerr_scalars_pure(rx, ry, rz, mass, a_k):
+    """Mirror of march_pallas._kernel kerr_scalars (bhx.kerr semantics)."""
+    a2_k = a_k * a_k
+    rho2 = rx * rx + ry * ry + rz * rz
+    b_ = rho2 - a2_k
+    r2 = 0.5 * (b_ + jnp.sqrt(b_ * b_ + 4.0 * a2_k * rz * rz + 1e-20))
+    r2 = jnp.maximum(r2, 1e-12)
+    r = jnp.sqrt(r2)
+    f = 2.0 * mass * r2 * r / (r2 * r2 + a2_k * rz * rz + 1e-20)
+    denom = r2 + a2_k
+    lx = (r * rx + a_k * ry) / denom
+    ly = (r * ry - a_k * rx) / denom
+    lz = rz / r
+    return r, f, lx, ly, lz
+
+
+def _kerr_rhs_pure(rx, ry, rz, qx, qy, qz, mass, a_k):
+    """Mirror of the in-kernel kerr_rhs: dx = p - f lp l; dp = -dH/dx via
+    jax.vjp (differentiable — the replay takes second-order derivatives
+    through this under the backward rule)."""
+    _, f, lx, ly, lz = _kerr_scalars_pure(rx, ry, rz, mass, a_k)
+    lp = 1.0 + lx * qx + ly * qy + lz * qz
+    flp = f * lp
+    dxx = qx - flp * lx
+    dxy = qy - flp * ly
+    dxz = qz - flp * lz
+
+    def h_of_x(ax, ay, az):
+        _, f_, lx_, ly_, lz_ = _kerr_scalars_pure(ax, ay, az, mass, a_k)
+        lp_ = 1.0 + lx_ * qx + ly_ * qy + lz_ * qz
+        return -0.5 * f_ * lp_ * lp_
+
+    _, vjp = jax.vjp(h_of_x, rx, ry, rz)
+    gx, gy, gz = vjp(jnp.ones_like(rx))
+    return dxx, dxy, dxz, -gx, -gy, -gz
+
+
 def step_pure(s, sc, kcfg: MarchKernelConfig):
-    """Pure-functional mirror of the kernel's Euler substep
-    (march_pallas._kernel substep), crossing slots carried in the state.
+    """Pure-functional mirror of the kernel's substep
+    (march_pallas._kernel substep) for ALL THREE integration paths —
+    Euler / RK45 (pseudo-Newtonian force) and the Kerr Hamiltonian RK4 —
+    crossing slots carried in the state.
 
     ``s``: dict of per-ray arrays — px py pz dx dy dz h act steps steps0
     closest2 count amount_ub horizon exited slots (slots: (K*7, N)
-    field-major, matching the kernel's output rows).
+    field-major, matching the kernel's output rows; plus qx qy qz for
+    geodesics="kerr").
     ``sc``: scalar dict.  Must stay operation-for-operation identical to
     the in-kernel substep so the replayed trajectory (and hence the
-    adjoint) matches the forward (guarded by the parity test).
+    adjoint) matches the forward (guarded by the parity tests).
     """
     bx, by, bz = sc["bh_x"], sc["bh_y"], sc["bh_z"]
     mass = sc["mass"]
@@ -106,11 +146,11 @@ def step_pure(s, sc, kcfg: MarchKernelConfig):
     d_in2, d_out2 = d_in * d_in, d_out * d_out
     inv_d_out = 1.0 / d_out
     K = kcfg.max_crossings
+    kerr = kcfg.geodesics == "kerr"
 
     px, py, pz = s["px"], s["py"], s["pz"]
     dx, dy, dz = s["dx"], s["dy"], s["dz"]
     act = s["act"] > 0.5
-    h_used = s["h"]
 
     rx, ry, rz = px - bx, py - by, pz - bz
     cxv = ry * dz - rz * dy
@@ -118,31 +158,149 @@ def step_pure(s, sc, kcfg: MarchKernelConfig):
     czv = rx * dy - ry * dx
     h2 = cxv * cxv + cyv * cyv + czv * czv
 
-    r2 = rx * rx + ry * ry + rz * rz
-    ir = jax.lax.rsqrt(r2 + 1e-12)
-    ir2 = ir * ir
-    inv_r5 = ir2 * ir2 * ir
-    a_s = (-3.0) * mass * h2 * inv_r5
-    ax, ay, az = a_s * rx, a_s * ry, a_s * rz
-    vx, vy, vz = dx + ax * h_used, dy + ay * h_used, dz + az * h_used
-    inv_n = jax.lax.rsqrt(vx * vx + vy * vy + vz * vz + 1e-20)
-    ndx, ndy, ndz = vx * inv_n, vy * inv_n, vz * inv_n
-    npx = px + ndx * h_used
-    npy = py + ndy * h_used
-    npz = pz + ndz * h_used
-    applied = act
+    def accel(qx_, qy_, qz_):
+        arx, ary, arz = qx_ - bx, qy_ - by, qz_ - bz
+        r2_ = arx * arx + ary * ary + arz * arz
+        ir_ = jax.lax.rsqrt(r2_ + 1e-12)
+        ir2_ = ir_ * ir_
+        inv_r5_ = ir2_ * ir2_ * ir_
+        a_s_ = (-3.0) * mass * h2 * inv_r5_
+        return a_s_ * arx, a_s_ * ary, a_s_ * arz
+
+    def norm3(x, y, z):
+        inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-20)
+        return x * inv, y * inv, z * inv
+
+    q_out = {}
+    kerr_captured = None
+    if kerr:
+        # --- Kerr Hamiltonian RK4 mirror (march_pallas kerr branch) ---
+        a_k = sc["spin"] * mass
+        spin = sc["spin"]
+        r_plus = mass * (1.0 + jnp.sqrt(jnp.clip(1.0 - spin * spin, 0.0, 1.0)))
+        inv_3m = 1.0 / (3.0 * mass)
+        qx, qy, qz = s["qx"], s["qy"], s["qz"]
+        r0, _, _, _, _ = _kerr_scalars_pure(rx, ry, rz, mass, a_k)
+        t_ = r0 * inv_3m
+        hk = jnp.clip(sc["step_size"] * t_ * jnp.sqrt(t_), 2e-3, 1.0)
+
+        def rhs(arx, ary, arz, aqx, aqy, aqz):
+            return _kerr_rhs_pure(arx, ary, arz, aqx, aqy, aqz, mass, a_k)
+
+        k1 = rhs(rx, ry, rz, qx, qy, qz)
+        k2 = rhs(
+            rx + 0.5 * hk * k1[0], ry + 0.5 * hk * k1[1],
+            rz + 0.5 * hk * k1[2],
+            qx + 0.5 * hk * k1[3], qy + 0.5 * hk * k1[4],
+            qz + 0.5 * hk * k1[5],
+        )
+        k3 = rhs(
+            rx + 0.5 * hk * k2[0], ry + 0.5 * hk * k2[1],
+            rz + 0.5 * hk * k2[2],
+            qx + 0.5 * hk * k2[3], qy + 0.5 * hk * k2[4],
+            qz + 0.5 * hk * k2[5],
+        )
+        k4 = rhs(
+            rx + hk * k3[0], ry + hk * k3[1], rz + hk * k3[2],
+            qx + hk * k3[3], qy + hk * k3[4], qz + hk * k3[5],
+        )
+        sixth = hk * (1.0 / 6.0)
+        nrx = rx + sixth * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
+        nry = ry + sixth * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
+        nrz = rz + sixth * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
+        nqx = qx + sixth * (k1[3] + 2 * k2[3] + 2 * k3[3] + k4[3])
+        nqy = qy + sixth * (k1[4] + 2 * k2[4] + 2 * k3[4] + k4[4])
+        nqz = qz + sixth * (k1[5] + 2 * k2[5] + 2 * k3[5] + k4[5])
+        sgx, sgy, sgz = nrx - rx, nry - ry, nrz - rz
+        seg_len = jnp.sqrt(sgx * sgx + sgy * sgy + sgz * sgz + 1e-24)
+        inv_seg = 1.0 / seg_len
+        ndx, ndy, ndz = sgx * inv_seg, sgy * inv_seg, sgz * inv_seg
+        npx, npy, npz = nrx + bx, nry + by, nrz + bz
+        h_used = seg_len
+        h_next = s["h"]
+        applied = act
+        r_new, _, _, _, _ = _kerr_scalars_pure(nrx, nry, nrz, mass, a_k)
+        kerr_captured = applied & (r_new <= r_plus)
+        app3 = jnp.where(applied, 1.0, 0.0)
+        q_out = dict(
+            qx=app3 * nqx + (1.0 - app3) * qx,
+            qy=app3 * nqy + (1.0 - app3) * qy,
+            qz=app3 * nqz + (1.0 - app3) * qz,
+        )
+    elif kcfg.integrator == "euler":
+        h_used = s["h"]
+        ax, ay, az = accel(px, py, pz)
+        ndx, ndy, ndz = norm3(
+            dx + ax * h_used, dy + ay * h_used, dz + az * h_used
+        )
+        npx = px + ndx * h_used
+        npy = py + ndy * h_used
+        npz = pz + ndz * h_used
+        applied = act
+        h_next = h_used
+    else:
+        # --- RK45 Cash-Karp mirror with the h-carry (march_pallas rk45
+        # branch): rejected lanes retry with the shrunken h next pass ---
+        from bhx.integrate import (
+            A21, A31, A32, A41, A42, A43, A51, A52, A53, A54,
+            A61, A62, A63, A64, A65, B1, B3, B4, B6, E1, E3, E4, E5, E6,
+        )
+
+        h_used = s["h"]
+
+        def stage(cx_, cy_, cz_):
+            return accel(px + cx_ * h_used, py + cy_ * h_used, pz + cz_ * h_used)
+
+        k1 = accel(px, py, pz)
+        k2 = stage(A21 * k1[0], A21 * k1[1], A21 * k1[2])
+        k3 = stage(A31 * k1[0] + A32 * k2[0], A31 * k1[1] + A32 * k2[1],
+                   A31 * k1[2] + A32 * k2[2])
+        k4 = stage(A41 * k1[0] + A42 * k2[0] + A43 * k3[0],
+                   A41 * k1[1] + A42 * k2[1] + A43 * k3[1],
+                   A41 * k1[2] + A42 * k2[2] + A43 * k3[2])
+        k5 = stage(A51 * k1[0] + A52 * k2[0] + A53 * k3[0] + A54 * k4[0],
+                   A51 * k1[1] + A52 * k2[1] + A53 * k3[1] + A54 * k4[1],
+                   A51 * k1[2] + A52 * k2[2] + A53 * k3[2] + A54 * k4[2])
+        k6 = stage(
+            A61 * k1[0] + A62 * k2[0] + A63 * k3[0] + A64 * k4[0] + A65 * k5[0],
+            A61 * k1[1] + A62 * k2[1] + A63 * k3[1] + A64 * k4[1] + A65 * k5[1],
+            A61 * k1[2] + A62 * k2[2] + A63 * k3[2] + A64 * k4[2] + A65 * k5[2],
+        )
+        ix = B1 * k1[0] + B3 * k3[0] + B4 * k4[0] + B6 * k6[0]
+        iy = B1 * k1[1] + B3 * k3[1] + B4 * k4[1] + B6 * k6[1]
+        iz = B1 * k1[2] + B3 * k3[2] + B4 * k4[2] + B6 * k6[2]
+        ex = h_used * (E1 * k1[0] + E3 * k3[0] + E4 * k4[0] + E5 * k5[0] + E6 * k6[0])
+        ey = h_used * (E1 * k1[1] + E3 * k3[1] + E4 * k4[1] + E5 * k5[1] + E6 * k6[1])
+        ez = h_used * (E1 * k1[2] + E3 * k3[2] + E4 * k4[2] + E5 * k5[2] + E6 * k6[2])
+        err = jnp.maximum(jnp.abs(ex), jnp.maximum(jnp.abs(ey), jnp.abs(ez)))
+        ratio = err / sc["rtol"]
+        accept = ratio <= 1.0
+        r4 = jax.lax.rsqrt(jax.lax.rsqrt(ratio + 1e-12))
+        grow = jnp.clip(sc["safety"] * r4, 1.0, sc["max_f"])
+        shrink = jnp.clip(sc["safety"] * r4, sc["min_f"], 1.0)
+        h_next = jnp.clip(h_used * jnp.where(accept, grow, shrink),
+                          sc["h_min"], sc["h_max"])
+        ndx, ndy, ndz = norm3(dx + h_used * ix, dy + h_used * iy, dz + h_used * iz)
+        npx = px + dx * h_used
+        npy = py + dy * h_used
+        npz = pz + dz * h_used
+        applied = act & accept
 
     # --- segment hit tests (masks only; no gradient paths) ---
-    half_b = rx * ndx + ry * ndy + rz * ndz
-    c_q = rx * rx + ry * ry + rz * rz - horizon_r2
-    disc4 = half_b * half_b - c_q
-    sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
-    t1 = -half_b - sq
-    t2 = -half_b + sq
-    v1 = (disc4 > 0.0) & (t1 > 1e-8) & (t1 < h_used)
-    v2 = (disc4 > 0.0) & (t2 > 1e-8) & (t2 < h_used)
-    t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
-    hit_h = v1 | v2
+    if kerr:
+        hit_h = kerr_captured
+        t_h = jnp.where(kerr_captured, 0.0, 1e9)
+    else:
+        half_b = rx * ndx + ry * ndy + rz * ndz
+        c_q = rx * rx + ry * ry + rz * rz - horizon_r2
+        disc4 = half_b * half_b - c_q
+        sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
+        t1 = -half_b - sq
+        t2 = -half_b + sq
+        v1 = (disc4 > 0.0) & (t1 > 1e-8) & (t1 < h_used)
+        v2 = (disc4 > 0.0) & (t2 > 1e-8) & (t2 < h_used)
+        t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
+        hit_h = v1 | v2
 
     if kcfg.show_disk:
         denom = nx * ndx + ny * ndy + nz * ndz
@@ -226,9 +384,11 @@ def step_pure(s, sc, kcfg: MarchKernelConfig):
     return dict(
         px=out_px, py=out_py, pz=out_pz,
         dx=out_dx, dy=out_dy, dz=out_dz,
-        h=s["h"], act=act_out, steps=steps, steps0=s["steps0"],
+        h=jnp.where(act, h_next, s["h"]), act=act_out, steps=steps,
+        steps0=s["steps0"],
         closest2=closest2, count=count, amount_ub=amount_ub,
         horizon=horizon, exited=exited, slots=slots,
+        **q_out,
     )
 
 
@@ -284,21 +444,23 @@ def _run_steps(state, sc, kcfg: MarchKernelConfig, t: int):
 
 
 def march_jnp(rays, params, kcfg: MarchKernelConfig):
-    """Step-exact jnp mirror of :func:`march_pallas` (Euler only).
+    """Step-exact jnp mirror of :func:`march_pallas` — all three
+    integration paths (Euler / RK45 pseudo-Newtonian, Kerr Hamiltonian).
 
-    Same tuple-of-rows I/O contract: IN_FIELDS (N,) rows in,
-    OUT_FIXED + 7K (N,) rows out.  Differentiable; used as the recompute
+    Same tuple-of-rows I/O contract: kcfg.in_fields (N,) rows in,
+    kcfg.out_fields (N,) rows out.  Differentiable; used as the recompute
     target of the backward rule and as an interpret-free parity oracle in
     tests.
     """
-    assert kcfg.integrator == "euler", "jnp mirror supports Euler only"
-    assert len(rays) == IN_FIELDS
+    kerr = kcfg.geodesics == "kerr"
+    assert len(rays) == kcfg.in_fields
     sc = {
         k: params[_P[k]]
         for k in (
             "bh_x", "bh_y", "bh_z", "mass", "horizon_r", "rel_r",
             "disk_nx", "disk_ny", "disk_nz", "disk_inner", "disk_outer",
-            "cutoff", "budget",
+            "cutoff", "budget", "step_size", "spin",
+            "rtol", "safety", "min_f", "max_f", "h_min", "h_max",
         )
     }
     px0, py0, pz0 = rays[0], rays[1], rays[2]
@@ -319,6 +481,8 @@ def march_jnp(rays, params, kcfg: MarchKernelConfig):
         horizon=zeros, exited=zeros,
         slots=jnp.zeros((K * CROSS_FIELDS, n), jnp.float32),
     )
+    if kerr:
+        state.update(qx=rays[10], qy=rays[11], qz=rays[12])
     final = _run_steps(state, sc, kcfg, total_steps(kcfg))
 
     rows = [None] * OUT_FIXED
@@ -336,9 +500,12 @@ def march_jnp(rays, params, kcfg: MarchKernelConfig):
     rows[_OUT_FIXED["amount"]] = final["amount_ub"]
     rows[_OUT_FIXED["count"]] = final["count"]
     slots = final["slots"]
-    return tuple(rows) + tuple(
+    out = tuple(rows) + tuple(
         slots[i] for i in range(K * CROSS_FIELDS)
     )
+    if kerr:
+        out = out + (final["qx"], final["qy"], final["qz"])
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

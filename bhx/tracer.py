@@ -356,17 +356,12 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     def do_round(work, first: bool):
         rs = work["rs"]
         act_f = rs[7]
-        # Euler pseudo-Newtonian marches go through the custom_vjp wrapper:
-        # primal cost is identical (fwd rule = the same kernel), and under
+        # Every kernel march goes through the custom_vjp wrapper: primal
+        # cost is identical (fwd rule = the same kernel), and under
         # jax.grad the backward replays via the rematerialized jnp mirror
-        # (bhx.kernels.march_grad).  RK45's adaptive controller and the
-        # Kerr Hamiltonian have no mirror — gradients for those use
-        # march_mode="diff".
-        kernel = (
-            march_pallas_diff
-            if (kcfg.integrator == "euler" and not kerr)
-            else march_pallas
-        )
+        # (bhx.kernels.march_grad), which covers Euler, RK45 (h-carry
+        # included) and the Kerr Hamiltonian.
+        kernel = march_pallas_diff
         # Sparse active sets run uncompacted: an all-dead tile's while
         # cond votes false before its first block, so it costs only VMEM
         # streaming (see the function docstring for measurements).

@@ -55,3 +55,57 @@ def test_cli_assets_smoke(capsys):
     assert main(["assets"]) == 0
     out = capsys.readouterr().out
     assert "disk" in out
+
+
+def test_render_tiled_resume_bitexact(tmp_path):
+    """Elastic recovery (SURVEY.md §5): a render interrupted after band 1
+    resumes from its checkpoint and produces the uninterrupted result
+    bit-for-bit (bhx.pipeline.render_tiled)."""
+    import numpy as np
+
+    from bhx.pipeline import render_tiled
+    from tests.common import FAST_CFG, small_scene
+
+    scene = small_scene()
+    cfg = FAST_CFG  # 64x36: 3 bands of 16 rows
+    ckpt = str(tmp_path / "bands.npz")
+
+    full = np.asarray(render_tiled(scene, cfg, band_rows=16))
+
+    # Simulate a crash: run bands but raise after the first checkpoint
+    # write by monkey-limiting the band loop via a partial checkpoint —
+    # simplest faithful simulation: run once with a checkpoint, then
+    # truncate its next_band back to 1 (as if bands 2+ never happened).
+    np.testing.assert_array_equal(
+        full, np.asarray(render_tiled(scene, cfg, band_rows=16,
+                                      checkpoint_path=ckpt))
+    )
+    z = dict(np.load(ckpt))
+    rec = z["rec"].copy()
+    rec[16:] = 0.0  # wipe bands 2+ as if they were never rendered
+    np.savez_compressed(ckpt, rec=rec, next_band=1,
+                        shape=z["shape"], band_rows=z["band_rows"])
+    resumed = np.asarray(render_tiled(scene, cfg, band_rows=16,
+                                      checkpoint_path=ckpt))
+    np.testing.assert_array_equal(full, resumed)
+
+
+def test_render_tiled_ignores_mismatched_checkpoint(tmp_path):
+    """A checkpoint from a different frame shape/banding is ignored, not
+    half-applied."""
+    import numpy as np
+
+    from bhx.pipeline import render_tiled
+    from tests.common import FAST_CFG, small_scene
+
+    scene = small_scene()
+    cfg = FAST_CFG
+    ckpt = str(tmp_path / "bands.npz")
+    np.savez_compressed(
+        ckpt, rec=np.full((9, 9, 8), 7.0, np.float32), next_band=1,
+        shape=(9, 9), band_rows=3,
+    )
+    out = np.asarray(render_tiled(scene, cfg, band_rows=16,
+                                  checkpoint_path=ckpt))
+    full = np.asarray(render_tiled(scene, cfg, band_rows=16))
+    np.testing.assert_array_equal(full, out)

@@ -158,3 +158,15 @@ def test_rk45_close_to_euler_visual():
     # Same scene, different integrator: small differences only.
     frac_big = (np.abs(img_e - img_rk)[..., :3] > 0.2).mean()
     assert frac_big < 0.15
+
+
+def test_frame_report_api():
+    """frame_report (SURVEY.md §5 metrics) returns per-stage ms + Mrays/s
+    for an arbitrary scene/config without touching private script code."""
+    from bhx.profiling import frame_report
+    from tests.common import FAST_CFG, small_scene
+
+    rep = frame_report(small_scene(), FAST_CFG, iters=1)
+    assert "dense trace" in rep and "sky finalize" in rep
+    assert "full frame" in rep and rep["full frame"] >= 0.0
+    assert rep["mrays_per_s"] > 0
