@@ -15,7 +15,8 @@ import jax
 
 def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
               dense: bool = False, warmup: int = 2,
-              march_mode: str = "pallas") -> Dict:
+              march_mode: str = "pallas", geodesics: str = "pseudo",
+              spin: float = 0.0) -> Dict:
     import dataclasses
 
     import jax.numpy as jnp
@@ -25,12 +26,20 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
     from bhx.scene import Scene
 
     scene = Scene.default()
+    if spin:
+        scene = dataclasses.replace(
+            scene,
+            black_hole=dataclasses.replace(
+                scene.black_hole, spin=jnp.float32(spin)
+            ),
+        )
     cfg = RenderConfig(
         width=width,
         height=height,
         use_ladder=not dense,
         ladder=LadderConfig.for_resolution(width, height, 4),
         march_mode=march_mode,
+        geodesics=geodesics,
     )
 
     @jax.jit
@@ -67,8 +76,9 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
     best = min(times)
     rays = width * height
     mrays = rays / best / 1e6
+    label = "schwarzschild" if geodesics == "pseudo" else f"kerr(spin={spin})"
     out = {
-        "metric": "Mrays/s 1080p schwarzschild+disk (full pipeline)",
+        "metric": f"Mrays/s 1080p {label}+disk (full pipeline)",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "best_s": round(best, 4),
@@ -93,12 +103,12 @@ def run_bench(width: int = 1918, height: int = 1081, iters: int = 5,
 
         ocfg = RenderConfig(
             width=width, height=height, use_ladder=False,
-            march_mode=march_mode,
+            march_mode=march_mode, geodesics=geodesics,
         )
         stats = jax.jit(
             lambda s: crossing_overflow_stats(s, ocfg, 640, 361),
             static_argnums=(),
-        )(Scene.default())
+        )(scene)
         out["overflow_frac"] = round(float(stats["overflow_frac"]), 5)
         out["overflow_dropped_total"] = int(stats["dropped_total"])
         out["max_crossing_count"] = int(stats["max_count"])

