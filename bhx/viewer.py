@@ -309,7 +309,7 @@ class ViewerServer:
             # a static-setting change includes the compile — the status
             # shows that honestly, like the reference's frame timer).
             self.last_stats = {
-                "mrays_per_s": round(self.width * self.height / dt / 1e6, 2),
+                "mrays_per_s": round(self.width * self.height / dt / 1e6, 5),
                 "frame_s": round(dt, 3),
             }
         from PIL import Image
@@ -342,13 +342,17 @@ class ViewerServer:
                 disk_outer=jnp.float32(req.get("disk_outer", 10.0)),
             )
             scene = dataclasses.replace(scene, black_hole=bh)
+            # Coarse diagnostic resolution, bounded march: the overflow
+            # fraction is a scene-geometry property, not a pixel-grid one.
+            w, h = min(self.width, 320), min(self.height, 180)
             cfg = RenderConfig(
-                width=320, height=180, use_ladder=False,
+                width=w, height=h, use_ladder=False,
+                max_iterations=min(self.max_iterations, 800),
                 march_mode=self.march_mode,
                 geodesics="kerr" if req.get("kerr") else "pseudo",
             )
             stats = jax.jit(
-                lambda s: crossing_overflow_stats(s, cfg, 320, 180)
+                lambda s: crossing_overflow_stats(s, cfg, w, h)
             )(scene)
             return {
                 "overflow_frac": round(float(stats["overflow_frac"]), 5),
