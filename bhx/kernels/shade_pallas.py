@@ -353,23 +353,34 @@ def _gain_bilinear_hat(u, v, gain_ref, gh: int, gw: int, xp=jnp):
     bilinear with texel centers at (i + 0.5)/size, written as a dense
     hat-basis contraction — per-lane gathers don't exist on the VPU, so
     every grid node contributes through its hat weight (zero except for
-    the 2x2 footprint).  gh*gw*4 fma per lane: ~1k vector ops for the
-    16x16 default, trivially VPU-bound under the slot/tile skipping.
-    ``gain_ref`` is the flattened grid in SMEM ((1, gh*gw*4)).
+    the 2x2 footprint).  The gh*gw cell sweep is a fori_loop with dynamic
+    SMEM scalar reads rather than a fully unrolled chain: the unrolled
+    16x16x4 version cost ~9 s of Mosaic compile per kernel instantiation
+    (4 per ladder frame) for identical runtime under the slot/tile
+    skipping.  ``gain_ref`` is the flattened grid in SMEM ((1, gh*gw*4)).
     """
     x = jnp.clip(u * gw - 0.5, 0.0, gw - 1.0)
     y = jnp.clip(v * gh - 0.5, 0.0, gh - 1.0)
-    bx = [jnp.maximum(1.0 - jnp.abs(x - float(w)), 0.0) for w in range(gw)]
-    by = [jnp.maximum(1.0 - jnp.abs(y - float(h)), 0.0) for h in range(gh)]
-    acc = [None, None, None, None]
-    for h in range(gh):
-        for w in range(gw):
-            p = by[h] * bx[w]
-            base = (h * gw + w) * 4
-            for c in range(4):
-                g = gain_ref[0, base + c]
-                acc[c] = p * g if acc[c] is None else acc[c] + p * g
-    return acc
+    zeros = jnp.zeros_like(x)
+
+    def cell(i, acc):
+        h = i // gw
+        w = i - h * gw
+        p = (
+            jnp.maximum(1.0 - jnp.abs(y - h.astype(jnp.float32)), 0.0)
+            * jnp.maximum(1.0 - jnp.abs(x - w.astype(jnp.float32)), 0.0)
+        )
+        base = i * 4
+        return (
+            acc[0] + p * gain_ref[0, base],
+            acc[1] + p * gain_ref[0, base + 1],
+            acc[2] + p * gain_ref[0, base + 2],
+            acc[3] + p * gain_ref[0, base + 3],
+        )
+
+    return list(
+        jax.lax.fori_loop(0, gh * gw, cell, (zeros, zeros, zeros, zeros))
+    )
 
 
 def _composite_kernel(params_ref, gain_ref, *refs,

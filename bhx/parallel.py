@@ -92,7 +92,10 @@ def _trace_flat_shmap(o, d, scene, cfg, mesh):
     jnp march modes keep the plain-GSPMD path (_trace_flat), which
     partitions their while loops natively.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     def body(o_loc, d_loc, scene_loc):
         return trace_rays_record(
