@@ -102,13 +102,16 @@ def _trace_flat_shmap(o, d, scene, cfg, mesh):
             o_loc.reshape(-1, 3), d_loc.reshape(-1, 3), scene_loc, cfg
         )
 
-    return shard_map(
-        body,
+    kw = dict(
         mesh=mesh,
         in_specs=(P(TILE_AXIS), P(TILE_AXIS), P()),
         out_specs=P(TILE_AXIS),
-        check_rep=False,
-    )(o, d, scene)
+    )
+    try:
+        wrapped = shard_map(body, check_vma=False, **kw)  # jax >= 0.7
+    except TypeError:
+        wrapped = shard_map(body, check_rep=False, **kw)
+    return wrapped(o, d, scene)
 
 
 def trace_image_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
