@@ -22,6 +22,26 @@ Architecture (not a port — see SURVEY.md §7):
   bhx.assets     procedural disk/sky/blackbody assets       (perlin/src/main.rs)
 """
 
+import os as _os
+
+# Persistent XLA/Mosaic compilation cache: full-pipeline graphs cost
+# 35-90 s EACH to compile; caching makes every repeated CLI/bench/script
+# invocation start warm.  Opt out by setting the var to "" beforehand.
+_os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    _os.path.join(_os.path.expanduser("~"), ".cache", "jaxcomp"),
+)
+try:  # if jax was imported first, the env default was already captured
+    import jax as _jax
+
+    if not _jax.config.jax_compilation_cache_dir:
+        _jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ["JAX_COMPILATION_CACHE_DIR"],
+        )
+except Exception:  # pragma: no cover - cache is best-effort
+    pass
+
 from bhx.config import RenderConfig, FxaaConfig, LadderConfig, BloomConfig
 from bhx.scene import Camera, BlackHole, Scene, Mesh
 from bhx.pipeline import render, render_image
