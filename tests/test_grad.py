@@ -147,9 +147,14 @@ def test_grad_wrt_camera_yaw():
 def test_grad_wrt_mass_ladder_on():
     """Gradient parity THROUGH the coarse-to-fine ladder (the reference's
     adaptive grid, ray.wgsl:183-241) on the kernel path: the ladder stays
-    enabled for march_mode="pallas" (pipeline.py), whose Euler custom_vjp
+    enabled for march_mode="pallas" (pipeline.py), whose custom_vjp
     replays the jnp mirror under jax.grad; the interp-or-retrace select is
-    piecewise-smooth, so AD must match FD away from decision boundaries."""
+    piecewise-smooth, so AD must match FD away from decision boundaries.
+
+    The kernel path is REVERSE-mode only (custom_vjp forbids jvp by
+    construction), so the parity check projects the pixel gradient onto a
+    fixed random probe: d/dtheta of sum(w * image) via jax.grad vs central
+    FD of the same scalar, with an eps-halving stability guard."""
     from bhx.config import LadderConfig
 
     def upd(scene, theta):
@@ -162,7 +167,23 @@ def test_grad_wrt_mass_ladder_on():
         max_iterations=128, march_mode="pallas_interpret",
         pallas_vote_every=4, pallas_sublanes=8, pallas_unroll=4,
     )
-    _check_grad_parity(upd, 0.5, eps=1e-3, cfg=cfg, min_stable_frac=0.4)
+    img_f = _image_fn(upd, cfg)
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, (23, 40, 3)).astype(np.float32))
+    f = jax.jit(lambda t: jnp.sum(w * img_f(t)))
+    theta0 = jnp.float32(0.5)
+
+    g_ad = float(jax.grad(f)(theta0))
+
+    def fd(e):
+        return (float(f(theta0 + e)) - float(f(theta0 - e))) / (2.0 * e)
+
+    fd1, fd2 = fd(1e-3), fd(5e-4)
+    assert np.isfinite(g_ad) and g_ad != 0.0
+    # The weighted sum averages away isolated boundary flips; require the
+    # FD itself to be stable before comparing.
+    assert abs(fd1 - fd2) <= 0.1 * max(abs(fd1), abs(fd2)), (fd1, fd2)
+    assert abs(g_ad - fd1) <= 0.1 * max(abs(g_ad), abs(fd1)), (g_ad, fd1)
 
 
 @pytest.mark.slow
