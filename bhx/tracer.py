@@ -154,7 +154,12 @@ def _merge_slots(slots_a, count_a, slots_b, count_b, K: int):
     merged[i] <- b[i - count_a] (O(K^2) selects, no gathers).
 
     Slots are tuples of K*CROSS_FIELDS (n,) rows (the kernel's
-    tuple-of-rows layout).
+    tuple-of-rows layout).  Cost note: in the default configuration this
+    never executes on the hot path — pallas_round_steps >= max_iterations
+    makes every march single-round, and the only callers are the
+    lax.cond-gated re-entry round / re-entry phase, which skip when no
+    ray re-enters (the common case; see trace_rays_record_rows).  The
+    K=4 select pyramid is ~70 where-ops over (n,) rows when it does run.
     """
     from bhx.kernels.march_pallas import CROSS_FIELDS as CF
 
