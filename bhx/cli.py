@@ -157,7 +157,7 @@ def cmd_bench(args) -> int:
 
     result = run_bench(
         width=args.width, height=args.height, iters=args.iters,
-        dense=args.dense,
+        dense=args.dense, geodesics=args.geodesics, spin=args.spin,
     )
     import json
 
@@ -224,6 +224,9 @@ def main(argv=None) -> int:
     pb.add_argument("--height", type=int, default=1081)
     pb.add_argument("--iters", type=int, default=5)
     pb.add_argument("--dense", action="store_true", help="disable the ladder")
+    pb.add_argument("--geodesics", choices=["pseudo", "kerr"],
+                    default="pseudo")
+    pb.add_argument("--spin", type=float, default=0.0)
     pb.set_defaults(fn=cmd_bench)
 
     pa = sub.add_parser("assets", help="generate / dump procedural assets")
