@@ -219,6 +219,10 @@ class RenderConfig:
     # Tile rows for the shade/sky finalize kernels: smaller tiles skip
     # crossing-free / fully-absorbed image regions at finer granularity.
     pallas_shade_sublanes: int = 8
+    # Ray chunks for the march kernel's backward replay (sequential via
+    # lax.map): raise above 1 when reverse-mode at large resolutions
+    # exceeds HBM (peak backward memory divides by this).
+    pallas_bwd_chunks: int = 1
     dtype: str = "float32"
 
     def ladder_for_output(self) -> LadderConfig:

@@ -525,8 +525,26 @@ def _march_fwd(rays, params, kcfg):
 
 def _march_bwd(kcfg, res, g):
     rays, params = res
-    _, vjp = jax.vjp(lambda r, p: march_jnp(r, p, kcfg), rays, params)
-    return vjp(g)
+    C = kcfg.bwd_chunks
+    n = rays[0].shape[0]
+    if C <= 1 or n % C != 0:
+        _, vjp = jax.vjp(lambda r, p: march_jnp(r, p, kcfg), rays, params)
+        return vjp(g)
+    # Ray-chunked adjoint: rays are independent through the march, so the
+    # replay splits along the ray axis with zero error; chunks run
+    # sequentially (lax.map), dividing peak backward memory by C at the
+    # cost of C sequential sweeps.  Parameter cotangents sum over chunks.
+    m = n // C
+    rays_c = tuple(r.reshape(C, m) for r in rays)
+    g_c = tuple(x.reshape(C, m) for x in g)
+
+    def chunk(args):
+        rc, gc = args
+        _, vjp = jax.vjp(lambda r, p: march_jnp(r, p, kcfg), rc, params)
+        return vjp(gc)
+
+    dr_c, dp_c = jax.lax.map(chunk, (rays_c, g_c))
+    return tuple(x.reshape(n) for x in dr_c), jnp.sum(dp_c, axis=0)
 
 
 march_pallas_diff.defvjp(_march_fwd, _march_bwd)

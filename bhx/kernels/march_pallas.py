@@ -115,6 +115,11 @@ class MarchKernelConfig:
     sublanes: int = 8
     # Integration substeps unrolled per inner-loop iteration.
     unroll: int = UNROLL
+    # Backward-pass ray chunking (march_grad custom_vjp): the adjoint
+    # replays the jnp mirror over all rays; peak backward memory is
+    # O(rays * state / bwd_chunks) because chunks run sequentially via
+    # lax.map.  1 = single-shot (fastest when it fits).
+    bwd_chunks: int = 1
     interpret: bool = False
 
     @property

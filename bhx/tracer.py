@@ -354,6 +354,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         vote_every=cfg.pallas_vote_every,
         sublanes=cfg.pallas_sublanes,
         unroll=cfg.pallas_unroll,
+        bwd_chunks=cfg.pallas_bwd_chunks,
         interpret=cfg.march_mode == "pallas_interpret",
     )
     pad = (-n) % kcfg.lanes

@@ -36,11 +36,21 @@ def main():
     from bhx.pipeline import render
     from bhx.scene import Scene
 
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    # The backward replays the march mirror over every ray; at 1080p that
+    # peaks near the HBM limit, so the artifact runs ray-chunked by
+    # default (sequential chunks, zero approximation — march_grad).
+    ap.add_argument("--bwd-chunks", type=int, default=8)
+    args = ap.parse_args()
+
     W, H = 1918, 1081
     scene = Scene.default()
     cfg = RenderConfig(
         width=W, height=H, use_ladder=True,
         ladder=LadderConfig.for_resolution(W, H, 4), march_mode="pallas",
+        pallas_bwd_chunks=args.bwd_chunks,
     )
     probes = [(H // 2, W // 2), (H // 2, W // 3), (2 * H // 5, 2 * W // 3),
               (H // 2 + 40, W // 2 + 200)]
@@ -102,6 +112,7 @@ def main():
     out = dict(
         resolution=[W, H],
         config="pallas march + 4-level ladder + bloom + ACES + FXAA",
+        bwd_chunks=args.bwd_chunks,
         loss="100*mean(image) + sum of 4 probe pixels",
         probes=probes,
         loss_value=l0,

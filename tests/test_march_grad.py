@@ -246,3 +246,30 @@ def test_kernel_grads_flow_rk45():
     assert (rel > 1e-2).any(axis=0).mean() < 0.05
     g = np.asarray(gp_k)
     assert np.isfinite(g).all() and abs(g[3]) > 0.0
+
+
+def test_bwd_chunking_matches_single_shot():
+    """Ray-chunked adjoint (kcfg.bwd_chunks > 1, sequential lax.map over
+    ray chunks) produces bit-equal gradients to the single-shot replay —
+    rays are independent through the march, so chunking is exact."""
+    import dataclasses as _dc
+
+    rays, params, kcfg = _setup(n=256, max_iter=32)
+    kcfg_c = _dc.replace(kcfg, bwd_chunks=4)
+
+    def make_loss(k):
+        def loss(r, p):
+            o = march_pallas_diff(r, p, k)
+            return sum(jnp.sum(row ** 2) for row in o[0:6])
+
+        return loss
+
+    gr1, gp1 = jax.grad(make_loss(kcfg), argnums=(0, 1))(rays, params)
+    grc, gpc = jax.grad(make_loss(kcfg_c), argnums=(0, 1))(rays, params)
+    np.testing.assert_allclose(
+        np.stack([np.asarray(r) for r in gr1]),
+        np.stack([np.asarray(r) for r in grc]), rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(gp1), np.asarray(gpc), rtol=1e-6, atol=1e-5,
+    )
