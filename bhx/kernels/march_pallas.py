@@ -49,10 +49,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from bhx.integrate import (
-    A21, A31, A32, A41, A42, A43, A51, A52, A53, A54, A61, A62, A63, A64, A65,
-    B1, B3, B4, B6, E1, E3, E4, E5, E6,
-)
+from bhx.kernels.march_substep import march_substep
 
 LANES = 8 * 128  # rays per grid step
 
@@ -167,15 +164,6 @@ def _kernel(params_ref, *refs, kcfg: MarchKernelConfig):
     p = lambda name: params_ref[0, _P[name]]
 
     bx, by, bz = p("bh_x"), p("bh_y"), p("bh_z")
-    mass = p("mass")
-    horizon_r2 = p("horizon_r") * p("horizon_r")
-    rel_r2 = p("rel_r") * p("rel_r")
-    nx, ny, nz = p("disk_nx"), p("disk_ny"), p("disk_nz")
-    d_in, d_out = p("disk_inner"), p("disk_outer")
-    d_in2 = d_in * d_in
-    d_out2 = d_out * d_out
-    inv_d_out = 1.0 / d_out
-    cutoff = p("cutoff")
 
     px0 = rays_ref[0, 0]
     py0 = rays_ref[1, 0]
@@ -192,54 +180,6 @@ def _kernel(params_ref, *refs, kcfg: MarchKernelConfig):
     zeros = jnp.zeros_like(px0)
     K = kcfg.max_crossings
     kerr = kcfg.geodesics == "kerr"
-
-    if kerr:
-        # --- exact Kerr null geodesics (mirrors bhx.kerr; reference has
-        # no spin at all — its force is ray.wgsl:401-403) ---
-        spin = p("spin")
-        a_k = spin * mass
-        a2_k = a_k * a_k
-        r_plus = mass * (
-            1.0 + jnp.sqrt(jnp.clip(1.0 - spin * spin, 0.0, 1.0))
-        )
-        inv_3m = 1.0 / (3.0 * mass)
-
-        def kerr_scalars(rx, ry, rz):
-            """(r, f, l): Kerr-Schild radial coord, potential, null vector
-            (bhx.kerr._kerr_scalars, component-wise for the VPU)."""
-            rho2 = rx * rx + ry * ry + rz * rz
-            b_ = rho2 - a2_k
-            r2 = 0.5 * (
-                b_ + jnp.sqrt(b_ * b_ + 4.0 * a2_k * rz * rz + 1e-20)
-            )
-            r2 = jnp.maximum(r2, 1e-12)
-            r = jnp.sqrt(r2)
-            f = 2.0 * mass * r2 * r / (r2 * r2 + a2_k * rz * rz + 1e-20)
-            denom = r2 + a2_k
-            lx = (r * rx + a_k * ry) / denom
-            ly = (r * ry - a_k * rx) / denom
-            lz = rz / r
-            return r, f, lx, ly, lz
-
-        def kerr_rhs(rx, ry, rz, qx, qy, qz):
-            """Hamilton's equations: dx = p - f lp l; dp = -dH/dx with
-            dH/dx from jax.vjp *inside the kernel* (elementwise math only,
-            so it lowers to VPU code like the rest; bhx.kerr.rhs)."""
-            _, f, lx, ly, lz = kerr_scalars(rx, ry, rz)
-            lp = 1.0 + lx * qx + ly * qy + lz * qz
-            flp = f * lp
-            dxx = qx - flp * lx
-            dxy = qy - flp * ly
-            dxz = qz - flp * lz
-
-            def h_of_x(ax, ay, az):
-                _, f_, lx_, ly_, lz_ = kerr_scalars(ax, ay, az)
-                lp_ = 1.0 + lx_ * qx + ly_ * qy + lz_ * qz
-                return -0.5 * f_ * lp_ * lp_
-
-            _, vjp = jax.vjp(h_of_x, rx, ry, rz)
-            gx, gy, gz = vjp(jnp.ones_like(rx))
-            return dxx, dxy, dxz, -gx, -gy, -gz
 
     # Crossing slots live in the output ref, not the loop carry.
     for k in range(K):
@@ -265,262 +205,37 @@ def _kernel(params_ref, *refs, kcfg: MarchKernelConfig):
             qx=rays_ref[10, 0], qy=rays_ref[11, 0], qz=rays_ref[12, 0]
         )
 
-    def accel(qx, qy, qz, h2):
-        rx, ry, rz = qx - bx, qy - by, qz - bz
-        r2 = rx * rx + ry * ry + rz * rz
-        ir = jax.lax.rsqrt(r2 + 1e-12)
-        ir2 = ir * ir
-        inv_r5 = ir2 * ir2 * ir  # (r^2)^-2.5 without pow
-        s = (-3.0) * mass * h2 * inv_r5
-        return s * rx, s * ry, s * rz
-
-    def norm3(x, y, z):
-        inv = jax.lax.rsqrt(x * x + y * y + z * z + 1e-20)
-        return x * inv, y * inv, z * inv
-
     def cond(s):
         return jnp.logical_and(
             s["it"] < kcfg.max_iterations, jnp.any(s["act"] > 0.5)
         )
 
+    def record(crossing, count, hit_vals):
+        """Scatter a crossing into the K-slot output block, guarded so
+        crossing-free steps (the vast majority) skip the bookkeeping."""
+
+        @pl.when(jnp.any(crossing))
+        def _record():
+            for k in range(K):
+                base = OUT_FIXED + k * CROSS_FIELDS
+                put = jnp.logical_and(crossing, count == float(k))
+                for f in range(6):
+                    out_ref[base + f, 0] = jnp.where(
+                        put, hit_vals[f], out_ref[base + f, 0]
+                    )
+                out_ref[base + 6, 0] = jnp.where(put, 1.0, out_ref[base + 6, 0])
+
     def substep(s):
-        px, py, pz = s["px"], s["py"], s["pz"]
-        dx, dy, dz = s["dx"], s["dy"], s["dz"]
-        act = s["act"] > 0.5
-
-        rx, ry, rz = px - bx, py - by, pz - bz
-        cxv = ry * dz - rz * dy
-        cyv = rz * dx - rx * dz
-        czv = rx * dy - ry * dx
-        h2 = cxv * cxv + cyv * cyv + czv * czv
-
-        kerr_captured = None
-        q_out = {}
-        if kerr:
-            # Hamiltonian RK4 on (x, p) with a field-strength-scaled step
-            # (bhx.kerr.step_rk4 / adaptive_h); the "direction" for hit
-            # tests / sky is the step segment's chord, like the jnp path
-            # (bhx/tracer.py kerr branch).
-            qx, qy, qz = s["qx"], s["qy"], s["qz"]
-            r0, _, _, _, _ = kerr_scalars(rx, ry, rz)
-            t_ = r0 * inv_3m
-            hk = jnp.clip(
-                p("step_size") * t_ * jnp.sqrt(t_), 2e-3, 1.0
-            )
-            k1 = kerr_rhs(rx, ry, rz, qx, qy, qz)
-            k2 = kerr_rhs(
-                rx + 0.5 * hk * k1[0], ry + 0.5 * hk * k1[1],
-                rz + 0.5 * hk * k1[2],
-                qx + 0.5 * hk * k1[3], qy + 0.5 * hk * k1[4],
-                qz + 0.5 * hk * k1[5],
-            )
-            k3 = kerr_rhs(
-                rx + 0.5 * hk * k2[0], ry + 0.5 * hk * k2[1],
-                rz + 0.5 * hk * k2[2],
-                qx + 0.5 * hk * k2[3], qy + 0.5 * hk * k2[4],
-                qz + 0.5 * hk * k2[5],
-            )
-            k4 = kerr_rhs(
-                rx + hk * k3[0], ry + hk * k3[1], rz + hk * k3[2],
-                qx + hk * k3[3], qy + hk * k3[4], qz + hk * k3[5],
-            )
-            sixth = hk * (1.0 / 6.0)
-            nrx = rx + sixth * (k1[0] + 2 * k2[0] + 2 * k3[0] + k4[0])
-            nry = ry + sixth * (k1[1] + 2 * k2[1] + 2 * k3[1] + k4[1])
-            nrz = rz + sixth * (k1[2] + 2 * k2[2] + 2 * k3[2] + k4[2])
-            nqx = qx + sixth * (k1[3] + 2 * k2[3] + 2 * k3[3] + k4[3])
-            nqy = qy + sixth * (k1[4] + 2 * k2[4] + 2 * k3[4] + k4[4])
-            nqz = qz + sixth * (k1[5] + 2 * k2[5] + 2 * k3[5] + k4[5])
-            sgx, sgy, sgz = nrx - rx, nry - ry, nrz - rz
-            seg_len = jnp.sqrt(sgx * sgx + sgy * sgy + sgz * sgz + 1e-24)
-            inv_seg = 1.0 / seg_len
-            ndx, ndy, ndz = sgx * inv_seg, sgy * inv_seg, sgz * inv_seg
-            npx, npy, npz = nrx + bx, nry + by, nrz + bz
-            h_used = seg_len
-            h_next = s["h"]
-            applied = act
-            # Capture: inside the (spin-dependent) outer horizon.
-            r_new, _, _, _, _ = kerr_scalars(nrx, nry, nrz)
-            kerr_captured = jnp.logical_and(applied, r_new <= r_plus)
-            app3 = jnp.where(applied, 1.0, 0.0)
-            q_out = dict(
-                qx=app3 * nqx + (1.0 - app3) * qx,
-                qy=app3 * nqy + (1.0 - app3) * qy,
-                qz=app3 * nqz + (1.0 - app3) * qz,
-            )
-        elif kcfg.integrator == "euler":
-            h_used = s["h"]
-            ax, ay, az = accel(px, py, pz, h2)
-            ndx, ndy, ndz = norm3(dx + ax * h_used, dy + ay * h_used, dz + az * h_used)
-            npx = px + ndx * h_used
-            npy = py + ndy * h_used
-            npz = pz + ndz * h_used
-            applied = act
-            h_next = h_used
-        else:
-            h_used = s["h"]
-
-            def stage(cx_, cy_, cz_):
-                return accel(px + cx_ * h_used, py + cy_ * h_used, pz + cz_ * h_used, h2)
-
-            k1 = accel(px, py, pz, h2)
-            k2 = stage(A21 * k1[0], A21 * k1[1], A21 * k1[2])
-            k3 = stage(A31 * k1[0] + A32 * k2[0], A31 * k1[1] + A32 * k2[1],
-                       A31 * k1[2] + A32 * k2[2])
-            k4 = stage(A41 * k1[0] + A42 * k2[0] + A43 * k3[0],
-                       A41 * k1[1] + A42 * k2[1] + A43 * k3[1],
-                       A41 * k1[2] + A42 * k2[2] + A43 * k3[2])
-            k5 = stage(A51 * k1[0] + A52 * k2[0] + A53 * k3[0] + A54 * k4[0],
-                       A51 * k1[1] + A52 * k2[1] + A53 * k3[1] + A54 * k4[1],
-                       A51 * k1[2] + A52 * k2[2] + A53 * k3[2] + A54 * k4[2])
-            k6 = stage(
-                A61 * k1[0] + A62 * k2[0] + A63 * k3[0] + A64 * k4[0] + A65 * k5[0],
-                A61 * k1[1] + A62 * k2[1] + A63 * k3[1] + A64 * k4[1] + A65 * k5[1],
-                A61 * k1[2] + A62 * k2[2] + A63 * k3[2] + A64 * k4[2] + A65 * k5[2],
-            )
-            ix = B1 * k1[0] + B3 * k3[0] + B4 * k4[0] + B6 * k6[0]
-            iy = B1 * k1[1] + B3 * k3[1] + B4 * k4[1] + B6 * k6[1]
-            iz = B1 * k1[2] + B3 * k3[2] + B4 * k4[2] + B6 * k6[2]
-            ex = h_used * (E1 * k1[0] + E3 * k3[0] + E4 * k4[0] + E5 * k5[0] + E6 * k6[0])
-            ey = h_used * (E1 * k1[1] + E3 * k3[1] + E4 * k4[1] + E5 * k5[1] + E6 * k6[1])
-            ez = h_used * (E1 * k1[2] + E3 * k3[2] + E4 * k4[2] + E5 * k5[2] + E6 * k6[2])
-            err = jnp.maximum(jnp.abs(ex), jnp.maximum(jnp.abs(ey), jnp.abs(ez)))
-            ratio = err / p("rtol")
-            accept = ratio <= 1.0
-            # Controller without pow: factor from two rsqrts.
-            # ratio^-0.25 = rsqrt(rsqrt(ratio)); ratio^-0.2 ~ use -0.25 for
-            # growth too (slightly more conservative growth, same clamps).
-            r4 = jax.lax.rsqrt(jax.lax.rsqrt(ratio + 1e-12))
-            grow = jnp.clip(p("safety") * r4, 1.0, p("max_f"))
-            shrink = jnp.clip(p("safety") * r4, p("min_f"), 1.0)
-            h_next = jnp.clip(h_used * jnp.where(accept, grow, shrink),
-                              p("h_min"), p("h_max"))
-            ndx, ndy, ndz = norm3(dx + h_used * ix, dy + h_used * iy, dz + h_used * iz)
-            # Position advances along the old direction (reference parity).
-            npx = px + dx * h_used
-            npy = py + dy * h_used
-            npz = pz + dz * h_used
-            applied = jnp.logical_and(act, accept)
-
-        if kerr:
-            # Capture was detected on the Boyer-Lindquist radius of the
-            # stepped position (r_new <= r_plus above): a terminal hit at
-            # t = 0, exactly like the jnp kerr path (bhx/tracer.py).
-            hit_h = kerr_captured
-            t_h = jnp.where(kerr_captured, 0.0, 1e9)
-        else:
-            # --- segment hit tests: origin (px,py,pz), direction (new dir,
-            # unit length), t in (0, h_used] (reference ray.wgsl:539-541) ---
-            ox, oy, oz = px - bx, py - by, pz - bz
-            half_b = ox * ndx + oy * ndy + oz * ndz
-            c_q = ox * ox + oy * oy + oz * oz - horizon_r2
-            disc4 = half_b * half_b - c_q  # disc/4 (a == 1 for unit dir)
-            sq = jnp.sqrt(jnp.maximum(disc4, 0.0))
-            t1 = -half_b - sq
-            t2 = -half_b + sq
-            v1 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t1 > 1e-8, t1 < h_used))
-            v2 = jnp.logical_and(disc4 > 0.0, jnp.logical_and(t2 > 1e-8, t2 < h_used))
-            t_h = jnp.where(v1, t1, jnp.where(v2, t2, 1e9))
-            hit_h = jnp.logical_or(v1, v2)
-
-        if kcfg.show_disk:
-            denom = nx * ndx + ny * ndy + nz * ndz
-            denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
-            t_d = ((bx - px) * nx + (by - py) * ny + (bz - pz) * nz) / denom
-            hx = px + ndx * t_d
-            hy = py + ndy * t_d
-            hz = pz + ndz * t_d
-            rr2 = (hx - bx) ** 2 + (hy - by) ** 2 + (hz - bz) ** 2
-            hit_d = jnp.logical_and(
-                jnp.logical_and(t_d > 1e-8, t_d < h_used),
-                jnp.logical_and(rr2 >= d_in2, rr2 <= d_out2),
-            )
-        else:
-            hit_d = jnp.zeros_like(hit_h)
-            t_d = jnp.full_like(t_h, 1e9)
-            hx = hy = hz = zeros
-
-        horizon_first = jnp.logical_and(hit_h, t_h <= t_d)
-        crossing = jnp.logical_and(
-            applied, jnp.logical_and(hit_d, jnp.logical_not(horizon_first))
-        )
-        hit_horizon = jnp.logical_and(applied, horizon_first)
-
-        count = s["count"]
-        amount_ub = s["amount_ub"]
-
-        if kcfg.show_disk:
-            # Opacity lower bound for early exit, pow-free:
-            # x^1.3 >= x for x >= 1 and >= x^2 for x in [0,1]
-            # (ray.wgsl:618-626 density -> od -> opacity).  Uses the
-            # hole-relative radius for the first density factor (exact for
-            # the origin-centered default; this is only an exit heuristic),
-            # and derives rsqrt(rr) = sqrt(rsqrt(rr2)) — one rsqrt + one
-            # sqrt for the whole block.
-            irr = jax.lax.rsqrt(rr2 + 1e-20)
-            rr = rr2 * irr
-            inv_sqrt_rr = jnp.sqrt(irr)
-            dens = 1.0 - rr * inv_d_out
-            tt = jnp.clip(rr - d_in, 0.0, 1.0)
-            dens = dens * (tt * tt * (3.0 - 2.0 * tt))
-            dens = jnp.maximum(dens * inv_sqrt_rr, 0.0)
-            x = 30.0 * dens
-            od_lb = jnp.where(x < 1.0, x * x, x)
-            op_lb = jnp.clip(od_lb * 0.2, 0.0, 1.0) * kcfg.tex_opacity_min
-
-            @pl.when(jnp.any(crossing))
-            def _record():
-                for k in range(K):
-                    base = OUT_FIXED + k * CROSS_FIELDS
-                    put = jnp.logical_and(crossing, count == float(k))
-                    out_ref[base + 0, 0] = jnp.where(put, hx, out_ref[base + 0, 0])
-                    out_ref[base + 1, 0] = jnp.where(put, hy, out_ref[base + 1, 0])
-                    out_ref[base + 2, 0] = jnp.where(put, hz, out_ref[base + 2, 0])
-                    out_ref[base + 3, 0] = jnp.where(put, ndx, out_ref[base + 3, 0])
-                    out_ref[base + 4, 0] = jnp.where(put, ndy, out_ref[base + 4, 0])
-                    out_ref[base + 5, 0] = jnp.where(put, ndz, out_ref[base + 5, 0])
-                    out_ref[base + 6, 0] = jnp.where(put, 1.0, out_ref[base + 6, 0])
-
-            count = count + jnp.where(crossing, 1.0, 0.0)
-            amount_ub = amount_ub * jnp.where(crossing, 1.0 - op_lb, 1.0)
-
-        # --- advance state ---
-        applied_f = jnp.where(applied, 1.0, 0.0)
-        napplied_f = 1.0 - applied_f
-        out_px = applied_f * npx + napplied_f * px
-        out_py = applied_f * npy + napplied_f * py
-        out_pz = applied_f * npz + napplied_f * pz
-        out_dx = applied_f * ndx + napplied_f * dx
-        out_dy = applied_f * ndy + napplied_f * dy
-        out_dz = applied_f * ndz + napplied_f * dz
-        h_out = jnp.where(act, h_next, s["h"])
-
-        dist2 = (out_px - bx) ** 2 + (out_py - by) ** 2 + (out_pz - bz) ** 2
-        closest2 = jnp.where(applied, jnp.minimum(s["closest2"], dist2), s["closest2"])
-
-        exited_now = jnp.logical_and(applied, dist2 > rel_r2)
-        absorbed = jnp.logical_or(
-            hit_horizon, jnp.logical_and(act, amount_ub < cutoff)
-        )
-        horizon = jnp.where(hit_horizon, 1.0, s["horizon"])
-        exited = jnp.where(exited_now, 1.0, s["exited"])
-        steps = s["steps"] + jnp.where(act, 1.0, 0.0)
-        act_out = jnp.where(
-            jnp.logical_and(
-                jnp.logical_and(act, steps0 + steps < budget),
-                jnp.logical_not(jnp.logical_or(exited_now, absorbed)),
-            ),
-            1.0,
-            0.0,
-        )
-
-        return dict(
-            px=out_px, py=out_py, pz=out_pz, dx=out_dx, dy=out_dy, dz=out_dz,
-            h=h_out, act=act_out, steps=steps, closest2=closest2,
-            amount_ub=amount_ub, horizon=horizon, exited=exited,
-            count=count, it=s["it"] + 1,
-            **q_out,
-        )
+        # THE substep — the same shared definition the custom_vjp replay
+        # scans (bhx.kernels.march_substep): pure elementwise jnp, so it
+        # lowers to VPU code here; sg=identity (no autodiff through the
+        # kernel itself), slot storage via the pl.when record above.
+        ss = {k: v for k, v in s.items() if k != "it"}
+        ss["steps0"] = steps0
+        new = march_substep(ss, p, kcfg, record=record)
+        del new["steps0"]  # tile-constant; lives in the input ref
+        new["it"] = s["it"] + 1
+        return new
 
     inner_iters = max(1, kcfg.vote_every // kcfg.unroll)
 
