@@ -12,10 +12,14 @@ import sys
 
 
 def main() -> int:
-    from bhx.bench import parity_check, run_bench
+    import bhx
+
+    bhx.enable_compile_cache()  # bench entry point opts in
+    from bhx.bench import grad_check, parity_check, run_bench
 
     result = run_bench(width=1918, height=1081, iters=5)
     parity = parity_check()
+    grad = grad_check()
     out = {
         "metric": result["metric"],
         "value": result["value"],
@@ -25,7 +29,8 @@ def main() -> int:
             k: result[k]
             for k in ("best_s", "mean_s", "compile_s", "devices", "device_kind")
         }
-        | parity,
+        | parity
+        | grad,
     }
     print(json.dumps(out))
     return 0

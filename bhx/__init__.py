@@ -24,23 +24,33 @@ Architecture (not a port — see SURVEY.md §7):
 
 import os as _os
 
-# Persistent XLA/Mosaic compilation cache: full-pipeline graphs cost
-# 35-90 s EACH to compile; caching makes every repeated CLI/bench/script
-# invocation start warm.  Opt out by setting the var to "" beforehand.
-_os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    _os.path.join(_os.path.expanduser("~"), ".cache", "jaxcomp"),
-)
-try:  # if jax was imported first, the env default was already captured
-    import jax as _jax
 
-    if not _jax.config.jax_compilation_cache_dir:
-        _jax.config.update(
-            "jax_compilation_cache_dir",
-            _os.environ["JAX_COMPILATION_CACHE_DIR"],
-        )
-except Exception:  # pragma: no cover - cache is best-effort
-    pass
+def enable_compile_cache(path: str | None = None) -> None:
+    """Turn on JAX's persistent on-disk compilation cache.
+
+    Full-pipeline graphs cost 35-90 s EACH to compile; the cache makes
+    every repeated CLI/bench/script invocation start warm.  This is an
+    explicit opt-in called by bhx's own entry points (CLI, bench, viewer,
+    scripts) — importing the library never mutates process state
+    (ADVICE r4).  Honors an externally set JAX_COMPILATION_CACHE_DIR;
+    pass ``path`` to override.  Idempotent.
+    """
+    if path is not None:
+        cache = path
+    else:
+        cache = _os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        if cache is None:
+            cache = _os.path.join(_os.path.expanduser("~"), ".cache", "jaxcomp")
+    if not cache:  # opted out via JAX_COMPILATION_CACHE_DIR=""
+        return
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
+    try:  # if jax was imported first, the env default was already captured
+        import jax as _jax
+
+        if not _jax.config.jax_compilation_cache_dir:
+            _jax.config.update("jax_compilation_cache_dir", cache)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
 
 from bhx.config import RenderConfig, FxaaConfig, LadderConfig, BloomConfig
 from bhx.scene import Camera, BlackHole, Scene, Mesh
@@ -50,6 +60,7 @@ from bhx.tracer import trace_rays
 __version__ = "0.1.0"
 
 __all__ = [
+    "enable_compile_cache",
     "RenderConfig",
     "FxaaConfig",
     "LadderConfig",

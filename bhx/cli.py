@@ -207,6 +207,9 @@ def cmd_fit(args) -> int:
 
 
 def main(argv=None) -> int:
+    import bhx
+
+    bhx.enable_compile_cache()  # CLI entry point opts in (ADVICE r4)
     parser = argparse.ArgumentParser(
         prog="bhx", description="TPU-native differentiable black-hole renderer"
     )

@@ -227,7 +227,10 @@ class ViewerServer:
                 )
         return self._mesh_cache[key]
 
-    def render_frame(self, req: dict) -> bytes:
+    def _scene_cfg_from_request(self, req: dict):
+        """Request JSON -> (Scene, RenderConfig) — the ONE place panel
+        settings are decoded, shared by /render and /stats so diagnostics
+        always reflect the frame actually being viewed (ADVICE r4)."""
         import jax.numpy as jnp
 
         from bhx.config import (
@@ -237,69 +240,77 @@ class ViewerServer:
             LadderConfig,
             RenderConfig,
         )
-        from bhx.io import to_uint8
-        from bhx.pipeline import render_jit
         from bhx.scene import Scene
 
+        meshes = ()
+        if req.get("mesh_enabled"):
+            mesh = self._get_mesh(str(req.get("obj_path", "")).strip())
+            mesh = dataclasses.replace(
+                mesh,
+                position=jnp.asarray(
+                    req.get("mesh_pos", [6.0, 0.0, -30.0]), jnp.float32
+                ),
+                visible=jnp.asarray(bool(req.get("mesh_visible", True))),
+            )
+            meshes = (mesh,)
+        scene = Scene.default(meshes=meshes)
+        bh = dataclasses.replace(
+            scene.black_hole,
+            mass=jnp.float32(req.get("mass", 0.5)),
+            spin=jnp.float32(req.get("spin", 0.0)),
+            disk_inner=jnp.float32(req.get("disk_inner", 2.0)),
+            disk_outer=jnp.float32(req.get("disk_outer", 10.0)),
+            feather=jnp.float32(req.get("feather", 0.3)),
+        )
+        cam = dataclasses.replace(
+            scene.camera,
+            position=jnp.asarray(req.get("pos", [0, 0, -19]), jnp.float32),
+            forward=jnp.asarray(req.get("forward", [0, 0, 1]), jnp.float32),
+            fov=jnp.float32(req.get("fov", 1.0)),
+        )
+        scene = dataclasses.replace(
+            scene, camera=cam, black_hole=bh,
+            time=jnp.float32(req.get("time", 0.0)),
+        )
+        # Every reference UI control (src/ui/render_settings.rs:127-194)
+        # is reachable here; static fields (integrator, iterations,
+        # ladder) cost one recompile per new value, cached thereafter.
+        cfg = RenderConfig(
+            width=self.width,
+            height=self.height,
+            use_ladder=bool(req.get("ladder", False)),
+            ladder=LadderConfig.for_resolution(self.width, self.height, 3),
+            max_iterations=int(req.get("max_iter", self.max_iterations)),
+            step_size=float(req.get("step_size", 0.15)),
+            integrator=(
+                Integrator.RK45
+                if req.get("integrator") == "rk45"
+                else Integrator.EULER
+            ),
+            march_mode=self.march_mode,
+            geodesics="kerr" if req.get("kerr") else "pseudo",
+            show_disk=bool(req.get("show_disk", True)),
+            show_disk_texture=bool(req.get("show_texture", True)),
+            show_redshift=bool(req.get("show_redshift", True)),
+            show_sky=bool(req.get("show_sky", True)),
+            bloom=BloomConfig(
+                enabled=bool(req.get("bloom", True)),
+                mix_ratio=float(req.get("mix_ratio", 0.7)),
+            ),
+            fxaa=FxaaConfig(enabled=bool(req.get("fxaa", True))),
+            tonemap=bool(req.get("tonemap", True)),
+        )
+        return scene, cfg
+
+    def render_frame(self, req: dict):
+        """Render one frame; returns (png_bytes, stats_dict).  Stats are
+        per-request (returned, not read back from shared state) so
+        concurrent clients never see each other's frame timings."""
+        from bhx.io import to_uint8
+        from bhx.pipeline import render_jit
+
         with self._lock:
-            meshes = ()
-            if req.get("mesh_enabled"):
-                mesh = self._get_mesh(str(req.get("obj_path", "")).strip())
-                mesh = dataclasses.replace(
-                    mesh,
-                    position=jnp.asarray(
-                        req.get("mesh_pos", [6.0, 0.0, -30.0]), jnp.float32
-                    ),
-                    visible=jnp.asarray(bool(req.get("mesh_visible", True))),
-                )
-                meshes = (mesh,)
-            scene = Scene.default(meshes=meshes)
-            bh = dataclasses.replace(
-                scene.black_hole,
-                mass=jnp.float32(req.get("mass", 0.5)),
-                spin=jnp.float32(req.get("spin", 0.0)),
-                disk_inner=jnp.float32(req.get("disk_inner", 2.0)),
-                disk_outer=jnp.float32(req.get("disk_outer", 10.0)),
-                feather=jnp.float32(req.get("feather", 0.3)),
-            )
-            cam = dataclasses.replace(
-                scene.camera,
-                position=jnp.asarray(req.get("pos", [0, 0, -19]), jnp.float32),
-                forward=jnp.asarray(req.get("forward", [0, 0, 1]), jnp.float32),
-                fov=jnp.float32(req.get("fov", 1.0)),
-            )
-            scene = dataclasses.replace(
-                scene, camera=cam, black_hole=bh,
-                time=jnp.float32(req.get("time", 0.0)),
-            )
-            # Every reference UI control (src/ui/render_settings.rs:127-194)
-            # is reachable here; static fields (integrator, iterations,
-            # ladder) cost one recompile per new value, cached thereafter.
-            cfg = RenderConfig(
-                width=self.width,
-                height=self.height,
-                use_ladder=bool(req.get("ladder", False)),
-                ladder=LadderConfig.for_resolution(self.width, self.height, 3),
-                max_iterations=int(req.get("max_iter", self.max_iterations)),
-                step_size=float(req.get("step_size", 0.15)),
-                integrator=(
-                    Integrator.RK45
-                    if req.get("integrator") == "rk45"
-                    else Integrator.EULER
-                ),
-                march_mode=self.march_mode,
-                geodesics="kerr" if req.get("kerr") else "pseudo",
-                show_disk=bool(req.get("show_disk", True)),
-                show_disk_texture=bool(req.get("show_texture", True)),
-                show_redshift=bool(req.get("show_redshift", True)),
-                show_sky=bool(req.get("show_sky", True)),
-                bloom=BloomConfig(
-                    enabled=bool(req.get("bloom", True)),
-                    mix_ratio=float(req.get("mix_ratio", 0.7)),
-                ),
-                fxaa=FxaaConfig(enabled=bool(req.get("fxaa", True))),
-                tonemap=bool(req.get("tonemap", True)),
-            )
+            scene, cfg = self._scene_cfg_from_request(req)
             import time as _time
 
             t0 = _time.perf_counter()
@@ -308,15 +319,16 @@ class ViewerServer:
             # Device-side throughput for the status line (first call after
             # a static-setting change includes the compile — the status
             # shows that honestly, like the reference's frame timer).
-            self.last_stats = {
+            stats = {
                 "mrays_per_s": round(self.width * self.height / dt / 1e6, 5),
                 "frame_s": round(dt, 3),
             }
+            self.last_stats = stats
         from PIL import Image
 
         buf = _io.BytesIO()
         Image.fromarray(img).save(buf, format="PNG")
-        return buf.getvalue()
+        return buf.getvalue(), stats
 
     def overflow_stats(self, req: dict) -> dict:
         """K-slot crossing-drop accounting for the current settings
@@ -325,31 +337,23 @@ class ViewerServer:
         Only meaningful (and only computed) in pallas march modes."""
         if self.march_mode not in ("pallas", "pallas_interpret"):
             return {"overflow_frac": 0.0, "note": "jnp march composites unboundedly"}
-        import jax
-        import jax.numpy as jnp
+        import dataclasses as _dc
 
-        from bhx.config import RenderConfig
-        from bhx.scene import Scene
+        import jax
+
         from bhx.tracer import crossing_overflow_stats
 
         with self._lock:
-            scene = Scene.default()
-            bh = dataclasses.replace(
-                scene.black_hole,
-                mass=jnp.float32(req.get("mass", 0.5)),
-                spin=jnp.float32(req.get("spin", 0.0)),
-                disk_inner=jnp.float32(req.get("disk_inner", 2.0)),
-                disk_outer=jnp.float32(req.get("disk_outer", 10.0)),
-            )
-            scene = dataclasses.replace(scene, black_hole=bh)
-            # Coarse diagnostic resolution, bounded march: the overflow
-            # fraction is a scene-geometry property, not a pixel-grid one.
+            # SAME request decoding as /render (ADVICE r4: the diagnostic
+            # must reflect the frame being viewed — disk tilt, step size,
+            # integrator, every panel setting), then overridden down to a
+            # coarse dense probe: the overflow fraction is a
+            # scene-geometry property, not a pixel-grid one.
+            scene, cfg = self._scene_cfg_from_request(req)
             w, h = min(self.width, 320), min(self.height, 180)
-            cfg = RenderConfig(
-                width=w, height=h, use_ladder=False,
-                max_iterations=min(self.max_iterations, 800),
-                march_mode=self.march_mode,
-                geodesics="kerr" if req.get("kerr") else "pseudo",
+            cfg = _dc.replace(
+                cfg, width=w, height=h, use_ladder=False,
+                max_iterations=min(cfg.max_iterations, 800),
             )
             stats = jax.jit(
                 lambda s: crossing_overflow_stats(s, cfg, w, h)
@@ -363,6 +367,9 @@ class ViewerServer:
 
 def serve(host="127.0.0.1", port=8089, **kw):
     """Start the viewer (blocking).  ``python -m bhx.viewer``."""
+    import bhx
+
+    bhx.enable_compile_cache()  # app entry point opts in (ADVICE r4)
     server = ViewerServer(**kw)
 
     class Handler(BaseHTTPRequestHandler):
@@ -386,7 +393,7 @@ def serve(host="127.0.0.1", port=8089, **kw):
                     self.end_headers()
                     self.wfile.write(body)
                     return
-                png = server.render_frame(req)
+                png, stats = server.render_frame(req)
             except Exception as e:  # surface render/parse errors to the client
                 self.send_response(500)
                 self.end_headers()
@@ -394,7 +401,7 @@ def serve(host="127.0.0.1", port=8089, **kw):
                 return
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
-            self.send_header("X-Bhx-Stats", json.dumps(server.last_stats))
+            self.send_header("X-Bhx-Stats", json.dumps(stats))
             self.end_headers()
             self.wfile.write(png)
 

@@ -18,6 +18,10 @@ import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import bhx
+
+bhx.enable_compile_cache()  # persistent XLA/Mosaic cache (explicit opt-in)
+
 
 
 def main():

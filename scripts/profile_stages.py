@@ -11,6 +11,10 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import bhx
+
+bhx.enable_compile_cache()  # persistent XLA/Mosaic cache (explicit opt-in)
+
 
 
 def main():

@@ -41,14 +41,14 @@ BASE_REQ = {
 
 def test_viewer_default_frame_and_stats_header():
     srv = _server()
-    png = srv.render_frame(dict(BASE_REQ))
+    png, stats = srv.render_frame(dict(BASE_REQ))
     img = _decode(png)
     assert img.shape == (36, 64, 3)
     assert img.max() > 0
-    # Status-line stats recorded for the X-Bhx-Stats header.
-    assert srv.last_stats["mrays_per_s"] > 0
-    assert srv.last_stats["frame_s"] > 0
-    json.dumps(srv.last_stats)  # must be serializable
+    # Per-request stats carried in the X-Bhx-Stats header.
+    assert stats["mrays_per_s"] > 0
+    assert stats["frame_s"] > 0
+    json.dumps(stats)  # must be serializable
 
 
 def test_viewer_pallas_kerr_panel_combination():
@@ -57,9 +57,10 @@ def test_viewer_pallas_kerr_panel_combination():
     srv = _server(march_mode="pallas_interpret")
     req = dict(BASE_REQ, kerr=True, spin=0.9, ladder=True,
                integrator="rk45", max_iter=80)
-    img = _decode(srv.render_frame(req))
+    png, stats = srv.render_frame(req)
+    img = _decode(png)
     assert img.shape == (36, 64, 3)
-    assert np.isfinite(srv.last_stats["frame_s"])
+    assert np.isfinite(stats["frame_s"])
 
 
 def test_viewer_mesh_request():
@@ -67,7 +68,8 @@ def test_viewer_mesh_request():
     req = dict(BASE_REQ, mesh_enabled=True, obj_path="",
                mesh_visible=True, mesh_pos=[6.0, 0.0, -30.0],
                pos=[0, 0, -40])
-    img = _decode(srv.render_frame(req))
+    png, _ = srv.render_frame(req)
+    img = _decode(png)
     assert img.shape == (36, 64, 3)
 
 
@@ -76,6 +78,11 @@ def test_viewer_overflow_stats_endpoint():
     stats = srv.overflow_stats(dict(BASE_REQ))
     assert set(stats) >= {"overflow_frac", "dropped_total", "max_count"}
     assert 0.0 <= stats["overflow_frac"] <= 1.0
+    # The diagnostic decodes the FULL request (ADVICE r4): turning the
+    # panel's disk off must zero the crossing statistics.
+    no_disk = srv.overflow_stats(dict(BASE_REQ, show_disk=False))
+    assert no_disk["max_count"] == 0
+    assert no_disk["overflow_frac"] == 0.0
     # jnp modes report the composites-unboundedly note instead.
     srv2 = _server(march_mode="fast")
     assert "note" in srv2.overflow_stats(dict(BASE_REQ))
