@@ -281,6 +281,7 @@ def render_tiled(
     band_rows: int = 256,
     checkpoint_path: str | None = None,
     verbose: bool = False,
+    max_retries: int = 2,
 ):
     """Giant-frame render in row bands with resumable checkpoints.
 
@@ -290,6 +291,13 @@ def render_tiled(
     interrupted render resumes where it stopped (SURVEY.md §5
     "Checkpoint / resume" — the reference has none).  The post chain runs
     once at the end on the assembled frame.
+
+    Failure recovery (SURVEY.md §5 "Failure detection"; the reference's
+    only analogue is surface-loss retry, app.rs:119-125): each band is
+    idempotent, so a transient device/runtime failure is retried up to
+    ``max_retries`` times before the exception propagates — and because
+    completed bands are already checkpointed, even a propagated failure
+    loses at most the failing band.
     """
     import os
 
@@ -321,7 +329,27 @@ def render_tiled(
         s0 = min(y0, max(h - band_rows, 0))
         ob = o[s0:s0 + band_rows]
         db = d[s0:s0 + band_rows]
-        out = np.asarray(trace_band(ob, db, scene, cfg)).reshape(band_rows, w, 8)
+        for attempt in range(max_retries + 1):
+            try:
+                out = np.asarray(
+                    trace_band(ob, db, scene, cfg)
+                ).reshape(band_rows, w, 8)
+                break
+            except Exception as e:  # bounded retry; band is idempotent
+                if attempt == max_retries:
+                    raise RuntimeError(
+                        f"band {band + 1}/{n_bands} failed after "
+                        f"{max_retries + 1} attempts"
+                        + (
+                            f" (progress saved to {checkpoint_path};"
+                            " re-run to resume)"
+                            if checkpoint_path
+                            else ""
+                        )
+                    ) from e
+                if verbose:
+                    print(f"band {band + 1}/{n_bands} attempt "
+                          f"{attempt + 1} failed ({e!r}); retrying")
         rec_np[y0:y1] = out[band_rows - rows:]
         if checkpoint_path:
             np.savez_compressed(

@@ -90,6 +90,50 @@ def test_render_tiled_resume_bitexact(tmp_path):
     np.testing.assert_array_equal(full, resumed)
 
 
+def test_render_tiled_retries_transient_band_failure(monkeypatch, tmp_path):
+    """Fault injection (SURVEY.md §5 "Failure detection"): a band trace
+    that throws once is retried and the render completes identically to
+    an uninterrupted run; a band that always throws propagates after the
+    bounded retries with the checkpoint preserved."""
+    import numpy as np
+
+    import bhx.tracer as tracer
+    from bhx.pipeline import render_tiled
+    from tests.common import FAST_CFG, small_scene
+
+    scene = small_scene()
+    cfg = FAST_CFG
+    full = np.asarray(render_tiled(scene, cfg, band_rows=16))
+
+    real = tracer.trace_rays_record
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient device failure")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(tracer, "trace_rays_record", flaky)
+    out = np.asarray(render_tiled(scene, cfg, band_rows=16, max_retries=2))
+    np.testing.assert_array_equal(full, out)
+    assert calls["n"] >= 2  # first attempt failed, retry succeeded
+
+    # Permanent failure: bounded retries then a contextful error; the
+    # checkpoint written by completed bands survives for a later resume.
+    def always_fail(*a, **kw):
+        raise RuntimeError("injected permanent failure")
+
+    monkeypatch.setattr(tracer, "trace_rays_record", always_fail)
+    ckpt = str(tmp_path / "bands.npz")
+    try:
+        render_tiled(scene, cfg, band_rows=16, checkpoint_path=ckpt,
+                     max_retries=1)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "band 1/3 failed after 2 attempts" in str(e)
+
+
 def test_render_tiled_ignores_mismatched_checkpoint(tmp_path):
     """A checkpoint from a different frame shape/banding is ignored, not
     half-applied."""
