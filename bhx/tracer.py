@@ -790,6 +790,30 @@ def trace_rays_record_rows(origins, directions, scene: Scene,
     """
     bh = scene.black_hole
     deferred = cfg.march_mode in ("pallas", "pallas_interpret")
+    n0 = origins.shape[0]
+    if deferred:
+        # Pre-pad the ray batch to a whole number of kernel tiles ONCE, so
+        # every march phase runs with pad == 0 — the per-phase pad concats
+        # were pure HBM copies worth ~17 ms/frame dense at 1080p
+        # (scripts/out/BISECT_MARCH_GLUE.json).  Pad rays repeat the last
+        # ray (valid math, no NaN hazards) but start dead (active=False ->
+        # status 2), so the march kernel's lane mask skips them and no
+        # output field needs un-masking beyond the final row trim.
+        lanes = cfg.pallas_sublanes * 128
+        pad = (-n0) % lanes
+        if pad:
+            origins = jnp.concatenate(
+                [origins, jnp.broadcast_to(origins[-1:], (pad, 3))], axis=0
+            )
+            directions = jnp.concatenate(
+                [directions, jnp.broadcast_to(directions[-1:], (pad, 3))],
+                axis=0,
+            )
+            live = (
+                jnp.ones((n0,), bool) if active is None
+                else active.astype(bool)
+            )
+            active = jnp.concatenate([live, jnp.zeros((pad,), bool)])
     state = _init_state(origins, directions, deferred=deferred)
     if active is not None:
         state["status"] = jnp.where(active, state["status"], jnp.int32(2))
@@ -840,8 +864,11 @@ def trace_rays_record_rows(origins, directions, scene: Scene,
     final_alpha1 = state["hit"] | few
     alpha = jnp.where(final_alpha1, 1.0, 0.0)
 
-    return (cr, cg, cb, alpha, amount,
+    rows = (cr, cg, cb, alpha, amount,
             state["dx"], state["dy"], state["dz"])
+    if state["px"].shape[0] != n0:  # trim the tile pre-pad (pallas modes)
+        rows = tuple(r[:n0] for r in rows)
+    return rows
 
 
 def trace_rays_record(origins, directions, scene: Scene, cfg: RenderConfig,
