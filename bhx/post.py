@@ -154,11 +154,24 @@ def _quality(i: int) -> float:
 
 
 def _luma(rgb):
-    return jnp.sqrt(jnp.clip(rgb @ jnp.array([0.299, 0.587, 0.114]), 0.0, None))
+    # + 1e-12 under the sqrt: sqrt'(0) is infinite, and exact-black pixels
+    # (the shadow interior) are common — without the epsilon every such
+    # pixel turns the whole backward pass NaN via the inf * 0 of its
+    # no-edge mask (discovered by the 1080p GRAD_CONFIG4 run).  Forward
+    # change <= 1e-6.
+    return jnp.sqrt(
+        jnp.clip(rgb @ jnp.array([0.299, 0.587, 0.114]), 0.0, None) + 1e-12
+    )
 
 
 def _shift(a, dy: int, dx: int):
-    """Clamp-to-edge neighbor fetch for a (H, W) array."""
+    """Clamp-to-edge neighbor fetch for a (H, W) array.
+
+    Shifts are clamped to the array extent (a shift past the edge reads
+    the edge row/column everywhere) — FXAA's walk distances can exceed a
+    tiny debug image's size."""
+    dy = max(min(dy, a.shape[0] - 1), 1 - a.shape[0])
+    dx = max(min(dx, a.shape[1] - 1), 1 - a.shape[1])
     if dy > 0:
         a = jnp.concatenate([a[dy:], jnp.repeat(a[-1:], dy, axis=0)], axis=0)
     elif dy < 0:
@@ -182,8 +195,13 @@ def fxaa_pass_chw(chw, cfg: FxaaConfig):
     rp, gp, bp = chw[0], chw[1], chw[2]
     hgt, wdt = rp.shape[0], rp.shape[1]
     inv_w, inv_h = 1.0 / wdt, 1.0 / hgt
+    # + 1e-12 under the sqrt: sqrt'(0) is infinite at the exact-black
+    # pixels of the shadow interior, and the inf gradient times the
+    # no-edge mask's zero is NaN — one black pixel NaN-poisons the whole
+    # backward image (discovered by the 1080p GRAD_CONFIG4 run; the
+    # forward is unchanged to ~1e-6).
     luma_img = jnp.sqrt(
-        jnp.clip(0.299 * rp + 0.587 * gp + 0.114 * bp, 0.0, None)
+        jnp.clip(0.299 * rp + 0.587 * gp + 0.114 * bp, 0.0, None) + 1e-12
     )
 
     l_c = luma_img
@@ -312,7 +330,15 @@ def fxaa_pass_chw(chw, cfg: FxaaConfig):
     final_offset = jnp.where(good, pixel_offset, 0.0)
 
     l_full_avg = (1.0 / 12.0) * (2.0 * (l_du + l_lr) + l_lc + l_rc)
-    sub1 = jnp.clip(jnp.abs(l_full_avg - l_c) / jnp.where(l_range == 0.0, 1e-12, l_range), 0.0, 1.0)
+    # Denominator clamped to the edge threshold: every pixel with
+    # l_range below it is fully no-edge-masked anyway, so edge pixels are
+    # EXACT, while the old 1e-12 fallback amplified float-noise gradients
+    # by ~1e12 on flat regions (backward-stability hazard).
+    sub1 = jnp.clip(
+        jnp.abs(l_full_avg - l_c)
+        / jnp.maximum(l_range, cfg.edge_threshold_min),
+        0.0, 1.0,
+    )
     sub2 = (-2.0 * sub1 + 3.0) * sub1 * sub1
     sub_final = sub2 * sub2 * cfg.subpixel_quality
     final_offset = jnp.maximum(final_offset, sub_final)
@@ -320,7 +346,17 @@ def fxaa_pass_chw(chw, cfg: FxaaConfig):
     # Final resample: a sub-texel shift (|t| < 1) along the perpendicular
     # axis only — a 2-texel lerp via shifted planes, no gather
     # (fxaa.wgsl:191-198).
-    t = final_offset
+    #
+    # The blend weight is a FILTER DECISION, not radiance: under
+    # differentiation it is frozen (stop_gradient) and gradients flow
+    # through the resampled colors only — same stance as the march's
+    # "masks don't differentiate" (march_grad).  Differentiating t is
+    # both ill-posed (the edge walk snaps to a static distance schedule,
+    # so most of t is piecewise-constant) and numerically hostile: the
+    # smooth sub-pixel term runs through luma = sqrt(...), whose slope at
+    # the shadow's near-black pixels is ~1/(2 sqrt(eps)) — the 1080p
+    # GRAD_CONFIG4 run measured AD 10x FD from exactly that term.
+    t = jax.lax.stop_gradient(final_offset)
 
     def resample(chan):
         nb_h = jnp.where(is1, _shift(chan, -1, 0), _shift(chan, +1, 0))

@@ -86,3 +86,26 @@ def test_fxaa_softens_hard_edge():
     # Some intermediate values appear near the edge.
     assert ((col > 0.05) & (col < 0.95)).any()
     assert np.isfinite(out).all()
+
+
+def test_fxaa_backward_finite_with_black_region():
+    """Regression for the 1080p GRAD_CONFIG4 NaN: exact-black pixels (the
+    shadow interior) hit sqrt'(0) = inf inside the luma, and the inf * 0
+    of the no-edge mask NaN-poisoned the whole backward image.  The blend
+    weight is now frozen under differentiation (filter decisions don't
+    differentiate) and the luma sqrt is epsilon-guarded; gradients must be
+    finite, bounded like a 2-tap resample, and flow through the colors."""
+    import jax
+
+    rng = np.random.default_rng(0)
+    img = rng.random((16, 24, 3)).astype(np.float32)
+    img[4:10, 5:15] = 0.0  # exact black block with hard edges
+    img = jnp.asarray(img)
+
+    g = jax.grad(lambda x: jnp.mean(fxaa_pass(x, FxaaConfig())))(img)
+    g = np.asarray(g)
+    assert np.isfinite(g).all()
+    # out = (1-t)*c + t*neighbor with t frozen in [0, 1): each input pixel
+    # feeds at most itself + 4 neighbors, so |dmean/dpixel| <= 5/N.
+    assert np.abs(g).max() <= 5.0 / (16 * 24 * 3) + 1e-6
+    assert np.abs(g).sum() > 0.0
