@@ -151,43 +151,51 @@ def grad_check(width: int = 320, height: int = 180,
         pallas_bwd_chunks=2,
         show_sky=False, show_disk_texture=False,
     )
-    # Fixed pseudo-random pixel weights make the image cotangent dense and
-    # direction-rich (a mean alone can hide sign errors that cancel).
     import numpy as np
 
-    w = jnp.asarray(
-        np.random.default_rng(7).random((height, width, 3)), jnp.float32
-    )
+    def img_of(mass):
+        bh = dataclasses.replace(scene.black_hole, mass=mass)
+        return render(dataclasses.replace(scene, black_hole=bh), cfg)
+
+    img_jit = jax.jit(img_of)
+
+    # FD-stable pixel mask (tests/test_grad.py's discipline, lifted to a
+    # scalar gate): hard visibility edges (disk silhouette, shadow rim)
+    # move with mass — their FD shows O(1/eps) boundary terms that
+    # interior-only AD does not model (stop-gradient'ed masks,
+    # march_grad module docs).  Pixels where FD(eps) and FD(eps/2)
+    # agree are exactly the piecewise-smooth set; the gate compares AD
+    # and FD of the SAME stable-masked weighted loss, so both sides
+    # measure the interior derivative the design defines.
+    e1, e2 = 1e-3, 5e-4
+    fdimg = {}
+    for e in (e1, e2):
+        p = np.asarray(img_jit(jnp.float32(0.5 + e)))
+        m = np.asarray(img_jit(jnp.float32(0.5 - e)))
+        fdimg[e] = (p - m) / (2.0 * e)
+    scale = np.maximum(np.abs(fdimg[e1]), np.abs(fdimg[e2]))
+    stable = np.abs(fdimg[e1] - fdimg[e2]) <= 0.05 * scale + 1e-4
+    stable_frac = float(stable.mean())
+    # Fixed pseudo-random weights make the cotangent direction-rich (a
+    # mean alone can hide sign errors that cancel).
+    w = np.random.default_rng(7).random((height, width, 3)) * stable
+    w_j = jnp.asarray(w, jnp.float32)
 
     def loss(mass):
-        bh = dataclasses.replace(scene.black_hole, mass=mass)
-        img = render(dataclasses.replace(scene, black_hole=bh), cfg)
-        return jnp.sum(img * w) / (width * height)
+        return jnp.sum(img_of(mass) * w_j) / (width * height)
 
     t0 = time.perf_counter()
     ad = float(jax.jit(jax.grad(loss))(jnp.float32(0.5)))
     grad_s = time.perf_counter() - t0
-    f = jax.jit(loss)
-
-    def fd(e):
-        return (
-            float(f(jnp.float32(0.5 + e))) - float(f(jnp.float32(0.5 - e)))
-        ) / (2.0 * e)
-
-    # Halving guard (same discipline as tests/test_grad.py): visibility
-    # edges make isolated FD probes unreliable; require the FD itself to
-    # be converged before holding AD to it.
-    fd1, fd2 = fd(1e-3), fd(5e-4)
-    fd_stable = abs(fd1 - fd2) <= 0.1 * max(abs(fd1), abs(fd2), 1e-8)
-    rel = abs(ad - fd2) / max(abs(ad), abs(fd2), 1e-8)
+    fd = float(np.sum(fdimg[e2] * w)) / (width * height)
+    rel = abs(ad - fd) / max(abs(ad), abs(fd), 1e-8)
     return {
         "grad_ad": round(ad, 6),
-        "grad_fd": round(fd2, 6),
-        "grad_fd_coarse": round(fd1, 6),
-        "grad_fd_stable": fd_stable,
+        "grad_fd": round(fd, 6),
+        "grad_stable_frac": round(stable_frac, 4),
         "grad_rel_err": round(rel, 5),
         "grad_first_call_s": round(grad_s, 1),
-        "grad_ok": bool(fd_stable and rel < rel_tol),
+        "grad_ok": bool(stable_frac > 0.5 and rel < rel_tol),
     }
 
 

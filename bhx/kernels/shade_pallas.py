@@ -115,7 +115,17 @@ def _slot_ingredients(hx, hy, hz, dx, dy, dz, cam_dist, p, kcfg, xp=jnp):
         sz = rz * inv_outer
         rot_x = p["r00"] * sx + p["r01"] * sy + p["r02"] * sz
         rot_z = p["r20"] * sx + p["r21"] * sy + p["r22"] * sz
-        angle = -xp.arctan2(rot_z, rot_x)
+        # arctan2's gradient at (0, 0) is 0/0: INVALID slots sit exactly
+        # there (zero geometry, hole at origin), and although their
+        # cotangents are select-masked to 0 downstream, the 0 * nan of
+        # the arctan2 grad leaks into the SCALAR disk_outer cotangent,
+        # which sums over lanes by multiplication (the 1080p GRAD_CONFIG4
+        # run measured exactly d/d(disk_outer) = NaN with every other
+        # partial finite).  Substitute x=1 on degenerate lanes via a
+        # select — forward unchanged (arctan2(0,1) == arctan2(0,0) == 0),
+        # gradient finite, select kills the NaN.
+        degen = rot_x * rot_x + rot_z * rot_z < 1e-24
+        angle = -xp.arctan2(rot_z, xp.where(degen, 1.0, rot_x))
         spun = angle + p["spun"]
         u = (xp.sin(spun) * r_norm + 1.0) * 0.5
         v = (xp.cos(spun) * r_norm + 1.0) * 0.5

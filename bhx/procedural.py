@@ -119,7 +119,11 @@ def disk_texel_m(u, v, xp=jnp):
     ry = v * 2.0 - 1.0
     r2 = rx * rx + ry * ry
     r = xp.sqrt(r2 + 1e-20)
-    theta = xp.arctan2(ry, rx) + xp.sqrt(r) * (np.pi * SPIRAL_AMOUNT)
+    # Same degenerate-center guard as shade_pallas._slot_ingredients:
+    # arctan2's gradient at (0, 0) is 0/0 and uv == (0.5, 0.5) reaches it;
+    # the select substitution leaves the forward unchanged.
+    theta = xp.arctan2(ry, xp.where(r2 < 1e-24, 1.0, rx)) \
+        + xp.sqrt(r) * (np.pi * SPIRAL_AMOUNT)
     sx = (r * xp.cos(theta) * 0.5 + 0.5)
     sy = (r * xp.sin(theta) * 0.5 + 0.5)
 

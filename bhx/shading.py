@@ -236,7 +236,13 @@ def disk_shade(
         r_norm = (dist - bh.disk_inner) / (bh.disk_outer - bh.disk_inner)
         rel_scaled = rel / bh.disk_outer
         rotated = jnp.einsum("ij,...j->...i", rotation_matrix, rel_scaled)
-        angle = -jnp.arctan2(rotated[..., 2], rotated[..., 0])
+        # Degenerate-center guard (see shade_pallas._slot_ingredients):
+        # arctan2's gradient at (0, 0) is 0/0; masked lanes can sit there
+        # exactly, and the NaN leaks into SCALAR cotangents (disk_outer)
+        # that sum over lanes.  Select keeps the forward identical.
+        rot_x, rot_z = rotated[..., 0], rotated[..., 2]
+        degen = rot_x * rot_x + rot_z * rot_z < 1e-24
+        angle = -jnp.arctan2(rot_z, jnp.where(degen, 1.0, rot_x))
         spun = angle + time * bh.rotation_speed
         u = (jnp.sin(spun) * r_norm + 1.0) * 0.5
         v = (jnp.cos(spun) * r_norm + 1.0) * 0.5

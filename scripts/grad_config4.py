@@ -17,9 +17,11 @@ Two-part artifact (scripts/out/GRAD_CONFIG4.json):
   run exposed, fixed in bhx/post.py.)
 * **smooth_config** — the SAME resolution / ladder / march / post chain
   with the sub-eps content removed (show_sky=False,
-  show_disk_texture=False).  Here AD vs central FD is a meaningful
-  correctness gate for the kernel-path adjoint at production scale, and
-  ``ad_fd_agree`` must be all-true under an eps-halving stability guard.
+  show_disk_texture=False), compared on an FD-STABLE PIXEL MASK
+  (tests/test_grad.py's discipline): visibility edges carry boundary
+  terms interior-only AD does not model, so AD and FD of the same
+  stable-masked weighted loss are compared and ``ad_fd_agree`` must be
+  all-true.
 
 Also writes grad_mass_1080p.png — the |d(image)/d(mass)| FD image of
 the full config for visual inspection.
@@ -127,11 +129,78 @@ def run_part(cfg, scene, probes, fd_gate: bool):
             grad_compile=round(grad_compile_s, 1),
         ),
     )
-    if fd_gate:
-        out["ad_fd_agree"] = [
-            bool(s and r < 0.1) for s, r in zip(stable, rel)
-        ]
     return out, img_fn
+
+
+def run_smooth_gate(cfg, scene, W, H):
+    """AD == FD gate on the smooth config with an FD-STABLE PIXEL MASK
+    (tests/test_grad.py's discipline at production scale): hard
+    visibility edges (disk silhouette, shadow rim) move with the
+    parameters — their FD carries O(1/eps) boundary terms that
+    interior-only AD does not model (the design stop-gradients every
+    discrete decision).  Pixels where FD(eps) and FD(eps/2) agree are
+    the piecewise-smooth set; AD and FD of the same stable-masked
+    weighted loss must then match."""
+    from bhx.pipeline import render
+
+    def img_fn(mass, fov, disk_outer):
+        bh = dataclasses.replace(
+            scene.black_hole, mass=mass, disk_outer=disk_outer
+        )
+        cam = dataclasses.replace(scene.camera, fov=fov)
+        s = dataclasses.replace(scene, black_hole=bh, camera=cam)
+        return render(s, cfg)
+
+    img_jit = jax.jit(img_fn)
+    theta0 = tuple(jnp.float32(t) for t in THETA0)
+
+    def fd_img(i, e):
+        tp = [jnp.float32(t + (e if j == i else 0.0))
+              for j, t in enumerate(THETA0)]
+        tm = [jnp.float32(t - (e if j == i else 0.0))
+              for j, t in enumerate(THETA0)]
+        return (np.asarray(img_jit(*tp)) - np.asarray(img_jit(*tm))) / (2 * e)
+
+    t0 = time.perf_counter()
+    masks, fdimgs = [], []
+    for i, e in enumerate(EPS):
+        f1 = fd_img(i, e)
+        f2 = fd_img(i, e * 0.5)
+        scale = np.maximum(np.abs(f1), np.abs(f2))
+        masks.append(np.abs(f1 - f2) <= 0.05 * scale + 1e-4)
+        fdimgs.append(f2)
+    fd_s = time.perf_counter() - t0
+    stable = masks[0] & masks[1] & masks[2]
+    stable_frac = float(stable.mean())
+    w = np.random.default_rng(7).random(stable.shape) * stable
+    w_j = jnp.asarray(w, jnp.float32)
+    size = float(W * H)
+
+    def loss(mass, fov, disk_outer):
+        return jnp.sum(img_fn(mass, fov, disk_outer) * w_j) / size
+
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+    t0 = time.perf_counter()
+    ad = [float(v) for v in g(*theta0)]
+    grad_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    [float(v) for v in g(*theta0)]
+    grad_s = time.perf_counter() - t0
+    fd = [float(np.sum(fi * w)) / size for fi in fdimgs]
+    rel = [abs(a - b) / max(abs(a), abs(b), 1e-8) for a, b in zip(ad, fd)]
+    return dict(
+        loss="sum(w * stable_mask * image) / (W*H), fixed random w",
+        stable_pixel_frac=round(stable_frac, 4),
+        ad_grads=ad,
+        fd_grads=fd,
+        ad_fd_rel_err=[round(r, 4) for r in rel],
+        ad_fd_agree=[bool(stable_frac > 0.5 and r < 0.1) for r in rel],
+        timings_s=dict(
+            grad=round(grad_s, 3),
+            grad_compile=round(grad_compile_s, 1),
+            fd_12_renders=round(fd_s, 2),
+        ),
+    )
 
 
 def main():
@@ -156,7 +225,7 @@ def main():
               (H // 2 + 40, W // 2 + 200)]
 
     full, img_fn = run_part(full_cfg, scene, probes, fd_gate=False)
-    smooth, _ = run_part(smooth_cfg, scene, probes, fd_gate=True)
+    smooth = run_smooth_gate(smooth_cfg, scene, W, H)
 
     # FD gradient IMAGE d(image)/d(mass) of the FULL config for visual
     # inspection (FD in image space is fine here: per-pixel magnitude
