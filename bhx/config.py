@@ -214,6 +214,9 @@ class RenderConfig:
     # Swept on TPU v5e (scripts/kernel_sweep.py): 64 sublanes hit
     # 8.45 G lane-steps/s vs 3.6 G at 8; 128 regresses, 256 OOMs VMEM.
     pallas_sublanes: int = 64
+    # Shrink the tile for small batches (coarse ladder levels) so dead
+    # pad lanes don't widen every vector op (tracer._march_sublanes).
+    pallas_adaptive_sublanes: bool = True
     # Integration substeps unrolled per kernel inner-loop iteration.
     pallas_unroll: int = 8
     # Tile rows for the shade/sky finalize kernels: smaller tiles skip

@@ -83,6 +83,19 @@ def camera_rays(camera, width: int, height: int) -> Tuple[jax.Array, jax.Array]:
     return o, d
 
 
+def _march_sublanes(n: int, cfg: RenderConfig) -> int:
+    """Kernel tile height for an n-ray batch: cfg.pallas_sublanes, shrunk
+    for small batches so a coarse ladder level doesn't pay full-width
+    vector ops on mostly-dead pad lanes (L0 is 2952 rays — a 64-sublane
+    tile would run 2000 steps at 64% dead width; a 24-sublane tile does
+    the same marching in ~1/2.7 the cycles).  Always a multiple of 8
+    (the float32 sublane quantum)."""
+    if not cfg.pallas_adaptive_sublanes:
+        return cfg.pallas_sublanes
+    rows = -(-n // 128)
+    return max(8, min(cfg.pallas_sublanes, -(-rows // 8) * 8))
+
+
 def _init_state(origins, directions, deferred: bool = False):
     """Canonical tracer state: PER-COMPONENT ROWS (structure-of-arrays).
 
@@ -352,7 +365,9 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         tex_opacity_min=0.7 if (cfg.show_disk_texture and cfg.show_disk) else 1.0,
         show_disk=cfg.show_disk,
         vote_every=cfg.pallas_vote_every,
-        sublanes=cfg.pallas_sublanes,
+        # Tile height shrinks for small batches (coarse ladder levels) so
+        # dead pad lanes don't widen every vector op — see _march_sublanes.
+        sublanes=_march_sublanes(n, cfg),
         unroll=cfg.pallas_unroll,
         bwd_chunks=cfg.pallas_bwd_chunks,
         interpret=cfg.march_mode == "pallas_interpret",
@@ -799,7 +814,7 @@ def trace_rays_record_rows(origins, directions, scene: Scene,
         # ray (valid math, no NaN hazards) but start dead (active=False ->
         # status 2), so the march kernel's lane mask skips them and no
         # output field needs un-masking beyond the final row trim.
-        lanes = cfg.pallas_sublanes * 128
+        lanes = _march_sublanes(n0, cfg) * 128
         pad = (-n0) % lanes
         if pad:
             origins = jnp.concatenate(

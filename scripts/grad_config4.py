@@ -168,7 +168,11 @@ def run_smooth_gate(cfg, scene, W, H):
         f2 = fd_img(i, e * 0.5)
         scale = np.maximum(np.abs(f1), np.abs(f2))
         masks.append(np.abs(f1 - f2) <= 0.05 * scale + 1e-4)
-        fdimgs.append(f2)
+        # Richardson extrapolation of the central difference (exact
+        # through O(e^2) curvature): near the photon ring d(img)/d(mass)
+        # is smooth but strongly curved, and plain FD at e/2 still
+        # carries visible second-order bias.
+        fdimgs.append((4.0 * f2 - f1) / 3.0)
     fd_s = time.perf_counter() - t0
     stable = masks[0] & masks[1] & masks[2]
     stable_frac = float(stable.mean())

@@ -75,6 +75,65 @@ def main():
         max(row_stats[k]["bad_frac_2em2"] for k in keys), 6
     )
 
+    # --- kernel vs ITS OWN MIRROR on the chip (the custom_vjp premise) ---
+    # The fast jnp path is a DIFFERENT float program (bhx.integrate
+    # steppers); near the photon sphere the march is chaotic, so float
+    # associativity differences amplify into O(1) direction divergence on
+    # a small ray set — that residual is cross-implementation, not a bug.
+    # What the adjoint actually requires is kernel == march_jnp (the
+    # replay, math-identical by construction since round 5's shared
+    # substep) ON REAL MOSAIC CODEGEN, which interpret-mode tests never
+    # see.  Compare all output rows on a camera-ray batch.
+    from bhx.config import Integrator
+    from bhx.kernels.march_grad import march_jnp
+    from bhx.kernels.march_pallas import (
+        MarchKernelConfig, march_pallas, pack_params,
+    )
+    from bhx.tracer import camera_rays
+
+    o, d = camera_rays(scene.camera, W, H)
+    o = np.asarray(o.reshape(-1, 3))
+    d = np.asarray(d.reshape(-1, 3))
+    n = ((o.shape[0] - 1) // 1024 + 1) * 1024
+    padn = n - o.shape[0]
+    o = np.concatenate([o, np.repeat(o[-1:], padn, 0)])
+    d = np.concatenate([d, np.repeat(d[-1:], padn, 0)])
+    kcfg = MarchKernelConfig(
+        integrator="euler", max_iterations=600, sublanes=8, unroll=8,
+        vote_every=32,
+    )
+    rays = tuple(
+        jax.numpy.asarray(x.astype(np.float32))
+        for x in (
+            o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+            np.full(n, base.step_size, np.float32), np.ones(n, np.float32),
+            np.ones(n, np.float32), np.zeros(n, np.float32),
+        )
+    )
+    rot_mat, disk_normal = scene.black_hole.disk_frame()
+    params = pack_params(scene.black_hole, disk_normal, base.replace(
+        max_iterations=600, integrator=Integrator.EULER))
+    out_k = [np.asarray(r) for r in march_pallas(rays, params, kcfg)]
+    out_m = [np.asarray(r) for r in jax.jit(
+        lambda r, p: march_jnp(r, p, kcfg))(rays, params)]
+    km = {}
+    worst = 0.0
+    for i, (a, b) in enumerate(zip(out_k, out_m)):
+        bf = float((np.abs(a - b) > 1e-3).mean())
+        worst = max(worst, bf)
+        if bf > 0:
+            km[f"row{i}"] = dict(
+                bad_frac_1em3=round(bf, 6),
+                max_abs=round(float(np.abs(a - b).max()), 6),
+            )
+    kernel_vs_mirror = dict(
+        rows_with_any_diff=km,
+        worst_bad_frac_1em3=round(worst, 6),
+        note="march kernel (real Mosaic) vs march_jnp replay on "
+             "identical rays; this is the custom_vjp trajectory-identity "
+             "premise measured on-chip",
+    )
+
     # vote_every A/B on the FULL image diff (the bench gate's measure).
     img_j = np.asarray(render_jit(scene, base.replace(march_mode="fast")))
     votes = {}
@@ -90,12 +149,17 @@ def main():
         row_stats=row_stats,
         march_rows_worst_bad_frac=agg(march_rows),
         color_rows_worst_bad_frac=agg(color_rows),
+        kernel_vs_mirror=kernel_vs_mirror,
         image_bad_frac_by_vote_every=votes,
         device=jax.devices()[0].device_kind,
         conclusion=(
-            "residual is shading-side"
-            if agg(march_rows) < 0.1 * max(agg(color_rows), 1e-9)
-            else "residual has a march-side component"
+            "pallas<->fast residual is march-side but vote-invariant and "
+            "absent kernel-vs-mirror => chaotic amplification of float "
+            "differences between two implementations of the same ODE "
+            "(photon-sphere-adjacent rays), not a kernel defect"
+            if worst < 1e-3
+            else "kernel diverges from its own mirror on-chip — "
+                 "investigate Mosaic codegen"
         ),
     )
     odir = os.path.join(os.path.dirname(__file__), "out")
