@@ -216,7 +216,11 @@ class RenderConfig:
     pallas_sublanes: int = 64
     # Shrink the tile for small batches (coarse ladder levels) so dead
     # pad lanes don't widen every vector op (tracer._march_sublanes).
-    pallas_adaptive_sublanes: bool = True
+    # Default OFF: measured on v5e it is throughput-neutral at best
+    # (scripts/out/SUBLANES_AB.json — adaptive 51.1/52.0 vs fixed
+    # 51.3/53.8 Mrays/s interleaved), i.e. Mosaic does not charge for
+    # dead sublane width the way the op-count model predicts.
+    pallas_adaptive_sublanes: bool = False
     # Integration substeps unrolled per kernel inner-loop iteration.
     pallas_unroll: int = 8
     # Tile rows for the shade/sky finalize kernels: smaller tiles skip
