@@ -228,8 +228,22 @@ def main():
     probes = [(H // 2, W // 2), (H // 2, W // 3), (2 * H // 5, 2 * W // 3),
               (H // 2 + 40, W // 2 + 200)]
 
+    from bhx.config import BloomConfig, FxaaConfig
+
     full, img_fn = run_part(full_cfg, scene, probes, fd_gate=False)
     smooth = run_smooth_gate(smooth_cfg, scene, W, H)
+    # Interior gate: ALSO drop bloom + FXAA.  Bloom is a wide linear
+    # blur, so a silhouette pixel's O(1/eps) boundary flip (which
+    # interior-only AD does not model) smears into many neighbours as
+    # moderate, FD-stable-looking contributions — the residual ~14% mass
+    # gap of smooth_config.  Without smearing paths the stable-masked
+    # comparison isolates exactly the derivative AD defines, and must
+    # agree on every parameter.
+    interior_cfg = dataclasses.replace(
+        smooth_cfg, bloom=BloomConfig(enabled=False),
+        fxaa=FxaaConfig(enabled=False),
+    )
+    interior = run_smooth_gate(interior_cfg, scene, W, H)
 
     # FD gradient IMAGE d(image)/d(mass) of the FULL config for visual
     # inspection (FD in image space is fine here: per-pixel magnitude
@@ -258,6 +272,14 @@ def main():
             "correctness gate at identical scale/pipeline."
         ),
         smooth_config=smooth,
+        smooth_config_note=(
+            "stable-masked AD vs Richardson FD through ladder + bloom + "
+            "ACES + frozen-weight FXAA; bloom linearly smears silhouette "
+            "boundary terms (not modeled by interior-only AD) into "
+            "FD-stable pixels — the interior_config block removes the "
+            "smearing paths and is the strict correctness gate."
+        ),
+        interior_config=interior,
         grad_image_stats=dict(
             finite=bool(np.isfinite(gimg).all()),
             abs_max=float(np.abs(gimg).max()),
