@@ -273,6 +273,17 @@ def fxaa_pass_chw(chw, cfg: FxaaConfig):
     pv = jnp.where(is1, _shift(pair_v, -1, 0), pair_v)
     ph = jnp.where(is1, _shift(pair_h, 0, -1), pair_h)
 
+    # Every fractional distance in the QUALITY schedule ends in .5, and a
+    # shift commutes with an elementwise blend:
+    #   (1-f)*shift(p, off) + f*shift(p, off+s) = shift(blend_f(p, s), off)
+    # so ONE pre-blended half-texel plane per (orientation, sign) serves
+    # every fractional sample — 2 shifted-plane fetches instead of 4
+    # (~28 fewer full-frame HBM passes per frame at iterations=12).
+    half = {
+        (+1): (0.5 * (pv + _shift(pv, 0, +1)), 0.5 * (ph + _shift(ph, +1, 0))),
+        (-1): (0.5 * (pv + _shift(pv, 0, -1)), 0.5 * (ph + _shift(ph, -1, 0))),
+    }
+
     def sample_at(dist: float, sign: int):
         """Pair-image value at signed walk distance `dist` (texels) from the
         pixel center, for both orientations, as shifted images."""
@@ -280,13 +291,16 @@ def fxaa_pass_chw(chw, cfg: FxaaConfig):
         f = dist - lo
         off = sign * lo
         # horizontal edges walk along x; vertical along y
-        h0 = _shift(pv, 0, off)
-        v0 = _shift(ph, off, 0)
-        if f > 0.0:
-            h1 = _shift(pv, 0, off + sign)
-            v1 = _shift(ph, off + sign, 0)
-            h0 = h0 * (1.0 - f) + h1 * f
-            v0 = v0 * (1.0 - f) + v1 * f
+        if f == 0.0:
+            h0 = _shift(pv, 0, off)
+            v0 = _shift(ph, off, 0)
+        elif f == 0.5:
+            hp, vp = half[sign]
+            h0 = _shift(hp, 0, off)
+            v0 = _shift(vp, off, 0)
+        else:  # pragma: no cover - QUALITY schedule only produces .0/.5
+            h0 = _shift(pv, 0, off) * (1.0 - f) + _shift(pv, 0, off + sign) * f
+            v0 = _shift(ph, off, 0) * (1.0 - f) + _shift(ph, off + sign, 0) * f
         return jnp.where(is_horizontal, h0, v0)
 
     # Static distance schedule (prefix sums of the QUALITY table).
