@@ -223,13 +223,20 @@ class RenderConfig:
     pallas_adaptive_sublanes: bool = False
     # Integration substeps unrolled per kernel inner-loop iteration.
     pallas_unroll: int = 8
-    # Tile rows for the shade/sky finalize kernels: smaller tiles skip
-    # crossing-free / fully-absorbed image regions at finer granularity.
-    pallas_shade_sublanes: int = 8
+    # Tile rows for the shade/sky finalize kernels.  Smaller tiles skip
+    # crossing-free regions at finer granularity, but grid-step overhead
+    # dominates at 1080p: the full-trace sweep measured 31.6 / 30.5 /
+    # 29.8 / 29.4 ms at 8 / 16 / 32 / 64 (scripts/out/SHADE_SWEEP.json),
+    # so big tiles win; small batches shrink automatically
+    # (tracer._shade_sublanes).
+    pallas_shade_sublanes: int = 64
     # Ray chunks for the march kernel's backward replay (sequential via
     # lax.map): raise above 1 when reverse-mode at large resolutions
     # exceeds HBM (peak backward memory divides by this).
     pallas_bwd_chunks: int = 1
+    # Guard the kernel's crossing-slot recording behind a per-substep
+    # pl.when(any(crossing)) vote (see march_pallas.MarchKernelConfig).
+    pallas_record_guard: bool = True
     dtype: str = "float32"
 
     def ladder_for_output(self) -> LadderConfig:

@@ -117,6 +117,11 @@ class MarchKernelConfig:
     # O(rays * state / bwd_chunks) because chunks run sequentially via
     # lax.map.  1 = single-shot (fastest when it fits).
     bwd_chunks: int = 1
+    # Guard slot recording with pl.when(any(crossing)) — skips the 28
+    # where+stores on crossing-free substeps at the cost of a cross-lane
+    # reduce + scalar branch EVERY substep.  False records
+    # unconditionally (pure vector selects, no per-substep vote).
+    record_guard: bool = True
     interpret: bool = False
 
     @property
@@ -211,10 +216,11 @@ def _kernel(params_ref, *refs, kcfg: MarchKernelConfig):
         )
 
     def record(crossing, count, hit_vals):
-        """Scatter a crossing into the K-slot output block, guarded so
-        crossing-free steps (the vast majority) skip the bookkeeping."""
+        """Scatter a crossing into the K-slot output block.  Guarded mode
+        skips the bookkeeping on crossing-free steps (the vast majority)
+        behind a pl.when; unguarded mode records unconditionally with
+        pure vector selects (no per-substep cross-lane vote)."""
 
-        @pl.when(jnp.any(crossing))
         def _record():
             for k in range(K):
                 base = OUT_FIXED + k * CROSS_FIELDS
@@ -224,6 +230,11 @@ def _kernel(params_ref, *refs, kcfg: MarchKernelConfig):
                         put, hit_vals[f], out_ref[base + f, 0]
                     )
                 out_ref[base + 6, 0] = jnp.where(put, 1.0, out_ref[base + 6, 0])
+
+        if kcfg.record_guard:
+            pl.when(jnp.any(crossing))(_record)
+        else:
+            _record()
 
     def substep(s):
         # THE substep — the same shared definition the custom_vjp replay

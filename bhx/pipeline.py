@@ -233,13 +233,14 @@ def render(scene: Scene, cfg: RenderConfig = RenderConfig()):
         and cfg.march_mode in ("pallas", "pallas_interpret")
     ):
         from bhx.kernels.shade_pallas import SkyKernelConfig, sky_finalize_rows
+        from bhx.tracer import _shade_sublanes
 
         flat = tuple(r.reshape(-1) for r in rows)
         rgb_rows = sky_finalize_rows(
             flat,
             SkyKernelConfig(
                 show_sky=cfg.show_sky,
-                sublanes=cfg.pallas_shade_sublanes,
+                sublanes=_shade_sublanes(h * w, cfg),
                 interpret=cfg.march_mode == "pallas_interpret",
             ),
         )

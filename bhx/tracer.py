@@ -96,6 +96,14 @@ def _march_sublanes(n: int, cfg: RenderConfig) -> int:
     return max(8, min(cfg.pallas_sublanes, -(-rows // 8) * 8))
 
 
+def _shade_sublanes(n: int, cfg: RenderConfig) -> int:
+    """Shade/sky kernel tile height: cfg.pallas_shade_sublanes, shrunk to
+    the batch for small inputs (thumbnail tests/viewer frames) so they
+    don't pad to a full 64x128 tile."""
+    rows = -(-n // 128)
+    return max(8, min(cfg.pallas_shade_sublanes, -(-rows // 8) * 8))
+
+
 def _init_state(origins, directions, deferred: bool = False):
     """Canonical tracer state: PER-COMPONENT ROWS (structure-of-arrays).
 
@@ -370,6 +378,7 @@ def _march_phase_pallas(state, scene: Scene, cfg: RenderConfig, cam_dist,
         sublanes=_march_sublanes(n, cfg),
         unroll=cfg.pallas_unroll,
         bwd_chunks=cfg.pallas_bwd_chunks,
+        record_guard=cfg.pallas_record_guard,
         interpret=cfg.march_mode == "pallas_interpret",
     )
     pad = (-n) % kcfg.lanes
@@ -965,7 +974,7 @@ def _shade_deferred(state, scene: Scene, cfg: RenderConfig, cam_dist):
                 max_crossings=K,
                 show_texture=cfg.show_disk_texture,
                 show_redshift=cfg.show_redshift,
-                sublanes=cfg.pallas_shade_sublanes,
+                sublanes=_shade_sublanes(n, cfg),
                 interpret=cfg.march_mode == "pallas_interpret",
             )
             params = pack_shade_params(bh, rot_mat, scene.time)
