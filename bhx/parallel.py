@@ -63,7 +63,19 @@ def init_distributed(coordinator: Optional[str] = None, **kw) -> None:
 
     if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialized (idempotent)
-    jax.distributed.initialize(coordinator_address=coordinator, **kw)
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator, **kw)
+    except Exception as e:
+        # Surface cluster bring-up failures with actionable context
+        # instead of a bare RPC traceback (SURVEY.md §5 "Failure
+        # detection"): the coordinator address and process identity are
+        # what an operator needs to debug a hung/unreachable rendezvous.
+        raise RuntimeError(
+            f"jax.distributed.initialize failed (coordinator="
+            f"{coordinator!r}, {', '.join(f'{k}={v!r}' for k, v in kw.items())})"
+            " — check that the coordinator process is reachable and that"
+            " every process uses the same num_processes/coordinator"
+        ) from e
 
 
 def _pad_rows(h: int, n: int) -> int:

@@ -136,3 +136,36 @@ def test_train_step_sharded_decreases_loss():
     vals = [np.asarray(s.data) for s in mass.addressable_shards]
     for v in vals[1:]:
         np.testing.assert_array_equal(vals[0], v)
+
+
+def test_init_distributed_failure_surfaced_cleanly(monkeypatch):
+    """Cluster bring-up failures carry actionable context (coordinator
+    address + process identity) instead of a bare RPC traceback
+    (SURVEY.md §5 "Failure detection")."""
+    import jax
+    import pytest
+
+    from bhx.parallel import init_distributed
+
+    def boom(**kw):
+        raise ConnectionError("rendezvous timed out")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match=r"coordinator='badhost:1'.*"
+                       r"num_processes=2.*reachable"):
+        init_distributed(coordinator="badhost:1", num_processes=2,
+                         process_id=0)
+
+
+def test_init_distributed_noop_without_coordinator(monkeypatch):
+    """No coordinator configured -> plain local backend, never raises."""
+    import jax
+
+    from bhx.parallel import init_distributed
+
+    def boom(**kw):  # must not be reached
+        raise AssertionError("initialize called without coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    init_distributed()
