@@ -96,27 +96,36 @@ def _refine_masks(prev_rows, cfg: RenderConfig, width: int, height: int):
     def sh_y(p):
         return jnp.concatenate([p[1:], p[-1:]], axis=0)
 
-    # Only alpha + dir planes are needed for the 3 non-TL neighbours.
-    tl = tuple(up(p) for p in prev_rows)
-    tr_a = up(sh_x(prev_rows[_R_ALPHA]))
-    bl_a = up(sh_y(prev_rows[_R_ALPHA]))
-    br_a = up(sh_x(sh_y(prev_rows[_R_ALPHA])))
-    tr_d = tuple(up(sh_x(prev_rows[i])) for i in _R_DIR)
-    bl_d = tuple(up(sh_y(prev_rows[i])) for i in _R_DIR)
-    br_d = tuple(up(sh_x(sh_y(prev_rows[i]))) for i in _R_DIR)
-    tl_d = tuple(tl[i] for i in _R_DIR)
-
+    # The interpolate-vs-trace decision depends only on the 4 coarse
+    # neighbours, i.e. it is CONSTANT over each m x m fine cell — so the
+    # alignment / all-escape tests run at COARSE resolution (m^2 = 9x
+    # fewer elements) and only the final boolean is upsampled, instead of
+    # evaluating ~50 plane ops at full resolution.
     ct = math.cos(cfg.angle_division_threshold)
-    aligned = (
-        _dirs_aligned_ch(bl_d, tl_d, ct)
-        & _dirs_aligned_ch(br_d, tr_d, ct)
-        & _dirs_aligned_ch(tl_d, tr_d, ct)
-        & _dirs_aligned_ch(bl_d, br_d, ct)
+    a_c = prev_rows[_R_ALPHA]
+    d_c = tuple(prev_rows[i] for i in _R_DIR)
+    trd_c = tuple(sh_x(p) for p in d_c)
+    bld_c = tuple(sh_y(p) for p in d_c)
+    brd_c = tuple(sh_x(sh_y(p)) for p in d_c)
+    aligned_c = (
+        _dirs_aligned_ch(bld_c, d_c, ct)
+        & _dirs_aligned_ch(brd_c, trd_c, ct)
+        & _dirs_aligned_ch(d_c, trd_c, ct)
+        & _dirs_aligned_ch(bld_c, brd_c, ct)
     )
-    all_escape = (
-        (tl[_R_ALPHA] == 0.0) & (tr_a == 0.0) & (bl_a == 0.0) & (br_a == 0.0)
+    all_escape_c = (
+        (a_c == 0.0) & (sh_x(a_c) == 0.0) & (sh_y(a_c) == 0.0)
+        & (sh_x(sh_y(a_c)) == 0.0)
     )
-    can_interp = all_escape & aligned
+    can_interp = up(aligned_c & all_escape_c)
+
+    # Full-res planes still needed: the TL record (copy-through + interp
+    # base) and the 3 non-TL direction neighbours (bilinear interp).
+    tl = tuple(up(p) for p in prev_rows)
+    tr_d = tuple(up(p) for p in trd_c)
+    bl_d = tuple(up(p) for p in bld_c)
+    br_d = tuple(up(p) for p in brd_c)
+    tl_d = tuple(tl[i] for i in _R_DIR)
 
     fx = gx / m - tx
     fy = gy / m - ty
